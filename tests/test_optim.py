@@ -1,0 +1,107 @@
+"""Optimizer stack tests: AGC golden values vs torch math, masks, RMSpropTF."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import torch
+
+from vision_transformers_tpu.train import optim as O
+
+
+def test_unitwise_agc_matches_reference_math():
+    """AGC semantics (reference optimizer.py:12-26): clip where g_norm > max_norm."""
+    rng = np.random.default_rng(1)
+    p = rng.normal(size=(4, 8)).astype(np.float32)
+    g = (rng.normal(size=(4, 8)) * 10).astype(np.float32)
+    clipping, eps = 0.01, 1e-3
+
+    tx = O.adaptive_grad_clip(clipping, eps)
+    state = tx.init({"w": jnp.asarray(p)})
+    out, _ = tx.update({"w": jnp.asarray(g)}, state, {"w": jnp.asarray(p)})
+
+    # independent torch computation of the published AGC rule
+    tp, tg = torch.tensor(p), torch.tensor(g)
+    p_norm = tp.norm(dim=list(range(1, tp.ndim)), keepdim=True)
+    g_norm = tg.norm(dim=list(range(1, tg.ndim)), keepdim=True)
+    max_norm = p_norm.clamp(min=eps) * clipping
+    clipped = tg * (max_norm / g_norm.clamp(min=1e-6))
+    expected = torch.where(g_norm < max_norm, tg, clipped)
+    np.testing.assert_allclose(np.asarray(out["w"]), expected.numpy(), rtol=1e-5)
+
+
+def test_agc_identity_below_threshold():
+    p = jnp.ones((3, 3))
+    g = jnp.full((3, 3), 1e-6)
+    tx = O.adaptive_grad_clip(0.01)
+    out, _ = tx.update({"w": g}, tx.init({"w": p}), {"w": p})
+    np.testing.assert_allclose(np.asarray(out["w"]), np.asarray(g))
+
+
+def test_wd_mask_vit():
+    params = {
+        "layers_0": {"attn": {"qkv": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones(4)}}},
+        "norm": {"scale": jnp.ones(4), "bias": jnp.ones(4)},
+        "cls_token": jnp.ones((1, 1, 4)),
+        "head": {"kernel": jnp.ones((4, 2)), "bias": jnp.ones(2)},
+    }
+    mask = O.wd_mask(params, "vit")
+    assert mask["layers_0"]["attn"]["qkv"]["kernel"] is True
+    assert mask["layers_0"]["attn"]["qkv"]["bias"] is False
+    assert mask["norm"]["scale"] is False  # 1-d
+    assert mask["cls_token"] is False  # "cls" substring
+    assert mask["head"]["kernel"] is True
+    assert mask["head"]["bias"] is False
+
+
+def test_agc_mask_excludes_head():
+    params = {
+        "blocks": {"linear": {"kernel": jnp.ones((4, 4))}},  # attention out proj... clipped? reference
+        "head": {"kernel": jnp.ones((4, 2)), "bias": jnp.ones(2)},
+    }
+    mask = O.agc_mask(params)
+    assert mask["head"]["kernel"] is False
+    assert mask["head"]["bias"] is False
+
+
+def test_rmsprop_tf_first_step_matches_timm_math():
+    """TF-style RMSprop: rms starts at ONE, eps inside sqrt."""
+    p = np.array([1.0, -2.0], dtype=np.float32)
+    g = np.array([0.5, 0.3], dtype=np.float32)
+    lr, alpha, eps, momentum = 0.01, 0.9, 1e-3, 0.9
+
+    conf = O.RMSpropTF(type="rmsprop_tf", lr=lr, alpha=alpha, eps=eps, momentum=momentum)
+    tx = conf.make(lambda c: lr, weight_decay=0.0, mask=None)
+    params = {"w": jnp.asarray(p)}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.asarray(g)}, state, params)
+
+    rms = alpha * 1.0 + (1 - alpha) * g**2  # init at one
+    mom = 0.9 * 0.0 + g / np.sqrt(rms + eps)
+    expected_update = -lr * mom
+    np.testing.assert_allclose(np.asarray(updates["w"]), expected_update, rtol=1e-5)
+
+
+def test_make_optimizer_runs_end_to_end():
+    class TC:
+        agc = 0.01
+        clip_grad_norm = 5.0
+        weight_decay = 0.05
+        wd_skip = "vit"
+
+        class optimizer:
+            @staticmethod
+            def make(schedule, wd, mask):
+                return optax.chain(
+                    optax.scale_by_adam(),
+                    optax.add_decayed_weights(wd, mask=mask),
+                    optax.scale_by_schedule(lambda c: -schedule(c)),
+                )
+
+    params = {"dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros(4)}}
+    tx = O.make_optimizer(TC, params, lambda c: 1e-3)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, state = tx.update(grads, state, params)
+    new_params = optax.apply_updates(params, updates)
+    assert jnp.isfinite(new_params["dense"]["kernel"]).all()

@@ -1,0 +1,77 @@
+"""LR schedule tests (reference semantics: lr_scheduler.py, tensorfn cycle/exp_epoch)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vision_transformers_tpu.config import registry
+from vision_transformers_tpu.train import schedule as S
+
+
+def test_cycle_warmup_and_decay():
+    conf = registry.build("scheduler", {"type": "cycle", "lr": 1.0, "warmup": 0})
+    sched = conf.make(lr=1.0, n_iter=100, warmup=10)
+    # warmup: rises from initial_multiplier*lr toward lr
+    v0 = float(sched(0))
+    v9 = float(sched(9))
+    assert v0 < v9 <= 1.0 + 1e-6
+    # peak right after warmup
+    np.testing.assert_allclose(float(sched(9)), 1.0, rtol=1e-5)
+    # decays to final multiplier at the end
+    v_end = float(sched(99))
+    assert v_end < 0.01
+    # monotone decay after warmup
+    vals = [float(sched(i)) for i in range(10, 100, 10)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_exp_epoch():
+    epoch_len = 100
+    conf = registry.build(
+        "scheduler",
+        {"type": "exp_epoch", "lr": 1.0, "epoch": 2.0, "gamma": 0.5, "warmup": 0},
+    )
+    sched = conf.make(lr=1.0, epoch_len=epoch_len, warmup=100)
+    assert float(sched(0)) < 0.05  # warmup start
+    np.testing.assert_allclose(float(sched(99)), 1.0, rtol=1e-4)  # end of warmup
+    np.testing.assert_allclose(float(sched(100)), 1.0, rtol=1e-5)  # first interval
+    np.testing.assert_allclose(float(sched(300)), 0.5, rtol=1e-5)  # after 2 epochs
+    np.testing.assert_allclose(float(sched(500)), 0.25, rtol=1e-5)
+
+
+def test_step_scheduler():
+    conf = registry.build(
+        "scheduler",
+        {"type": "step", "lr": 1.0, "milestones": [10, 20], "gamma": 0.1, "warmup": 0},
+    )
+    sched = conf.make(lr=1.0, n_iter=30, warmup=0)
+    np.testing.assert_allclose(float(sched(5)), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(15)), 0.1, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(25)), 0.01, rtol=1e-5)
+
+
+def test_cosine_schedule_list():
+    """(reference train_util.py:6-22: DINO wd/momentum schedules)."""
+    out = S.cosine_schedule(base=0.04, final=0.4, step=10, warmup=0)
+    assert len(out) == 10
+    np.testing.assert_allclose(out[0], 0.04, rtol=1e-6)
+    assert abs(out[-1] - 0.4) < 0.02
+    # with warmup
+    out = S.cosine_schedule(base=1.0, final=0.5, step=10, warmup=4, warmup_start=0.0)
+    np.testing.assert_allclose(out[0], 0.0, atol=1e-8)
+    np.testing.assert_allclose(out[3], 1.0, rtol=1e-6)
+
+
+def test_make_schedule_linear_scaling():
+    """LR linear-scaling rule lr = base_lr * batch / 256 (reference factory.py:42-45)."""
+
+    class DL:
+        batch_size = 512
+
+    class TC:
+        base_lr = 1e-3
+        epoch = 10
+        dataloader = DL
+        scheduler = registry.build("scheduler", {"type": "constant", "lr": 0.0})
+
+    sched = S.make_schedule(TC, epoch_len=100)
+    np.testing.assert_allclose(float(sched(0)), 2e-3, rtol=1e-6)

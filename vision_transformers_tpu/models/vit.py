@@ -1,0 +1,367 @@
+"""Vision Transformer + DINO head (reference: models/vit.py).
+
+TPU-native design notes:
+- single fused qkv projection feeding one batched attention einsum per layer —
+  all FLOPs land on the MXU; softmax runs in float32 for bf16 stability
+- the multi-crop forward of the reference (torch.unique_consecutive grouping,
+  models/vit.py:177-203) becomes *static* resolution grouping: crops of equal
+  spatial size are stacked into one batched forward at trace time, so the
+  whole multi-crop step stays inside one jit
+- positional-embedding interpolation for resolution changes uses
+  jax.image.resize bicubic (reference: models/vit.py:153-175)
+- DropPath rates are a static per-layer ramp; the reference's
+  ``set_drop_path`` mutation hook (models/vit.py:120-125) maps to rebuilding
+  the module with a new rate (models are cheap frozen dataclasses here)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config.registry import TypedConfig, register
+from .layers import FeedForward, drop_path, trunc_normal_init, tuple2
+
+Dtype = Any
+
+_LN_EPS = 1e-6  # reference: models/vit.py:13
+
+
+class MultiHeadedAttention(nn.Module):
+    """Fused-qkv MHSA (reference: models/vit.py:16-45)."""
+
+    n_head: int
+    use_bias: bool = True
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, n, dim = x.shape
+        dim_head = dim // self.n_head
+
+        qkv = nn.Dense(
+            dim * 3, use_bias=self.use_bias, dtype=self.dtype,
+            kernel_init=trunc_normal_init(0.02), name="qkv",
+        )(x)
+        qkv = qkv.reshape(b, n, 3, self.n_head, dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, d]
+
+        scale = 1.0 / math.sqrt(dim_head)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, dim)
+        return nn.Dense(
+            dim, dtype=self.dtype, kernel_init=trunc_normal_init(0.02), name="linear"
+        )(out)
+
+
+class TransformerLayer(nn.Module):
+    """Pre-LN block with DropPath (reference: models/vit.py:48-66)."""
+
+    n_head: int
+    dim_ff: int
+    dropout: float = 0.0
+    drop_attn: float = 0.0
+    drop_ff: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        def dp(y):
+            if deterministic or self.drop_path == 0.0:
+                return y
+            return drop_path(y, self.drop_path, self.make_rng("dropout"), False)
+
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_attn")(x)
+        h = MultiHeadedAttention(
+            self.n_head, dropout=self.drop_attn, dtype=self.dtype, name="attn"
+        )(h, deterministic)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        x = x + dp(h)
+
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_ff")(x)
+        h = FeedForward(
+            dim=self.dim_ff, activation=lambda y: jax.nn.gelu(y, approximate=False),
+            dropout=self.drop_ff, dtype=self.dtype, name="ff",
+        )(h, deterministic)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return x + dp(h)
+
+
+class PatchEmbedding(nn.Module):
+    """Conv patchify → sequence (reference: models/vit.py:69-76).
+
+    A stride-p conv over p×p patches is mathematically a reshape + matmul; we
+    keep the conv form — XLA lowers it onto the MXU directly.
+    """
+
+    dim: int
+    patch_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: NHWC
+        p = self.patch_size
+        y = nn.Conv(
+            self.dim, (p, p), strides=(p, p), padding="VALID", dtype=self.dtype,
+            kernel_init=trunc_normal_init(0.02), name="proj",
+        )(x)
+        b, h, w, c = y.shape
+        return y.reshape(b, h * w, c)
+
+
+class VisionTransformer(nn.Module):
+    """(reference: models/vit.py:79-203)"""
+
+    image_size: Tuple[int, int]
+    patch_size: int
+    depth: int
+    dim: int
+    n_head: int
+    dim_ff: int
+    dropout: float = 0.0
+    drop_attn: float = 0.0
+    drop_ff: float = 0.0
+    drop_path: float = 0.0
+    n_class: Optional[int] = None  # None: return features (DINO backbone)
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        image_size = tuple2(self.image_size)
+        n_patch = (image_size[0] // self.patch_size) * (image_size[1] // self.patch_size)
+        self.patch_embedding = PatchEmbedding(self.dim, self.patch_size, dtype=self.dtype)
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, self.dim), jnp.float32
+        )
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, n_patch + 1, self.dim), jnp.float32
+        )
+        rates = [self.drop_path * i / max(self.depth - 1, 1) for i in range(self.depth)]
+        self.layers = [
+            TransformerLayer(
+                self.n_head, self.dim_ff, self.dropout, self.drop_attn,
+                self.drop_ff, rates[i], dtype=self.dtype, name=f"layers_{i}",
+            )
+            for i in range(self.depth)
+        ]
+        self.norm = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype)
+        self.pos_dropout = nn.Dropout(self.dropout)
+        if self.n_class is not None:
+            self.head = nn.Dense(
+                self.n_class, dtype=jnp.float32, kernel_init=trunc_normal_init(0.02)
+            )
+
+    def interpolate_pos_embedding(self, n_patch: int) -> jax.Array:
+        """Bicubic resize of the grid pos-embed (reference: models/vit.py:153-175)."""
+        pos_embed = self.pos_embed
+        n_pos = pos_embed.shape[1] - 1
+        if n_patch == n_pos:
+            return pos_embed
+        cls_embed = pos_embed[:, :1]
+        grid = pos_embed[:, 1:]
+        dim = grid.shape[-1]
+        side_in = int(math.sqrt(n_pos))
+        side_out = int(math.sqrt(n_patch))
+        grid = grid.reshape(1, side_in, side_in, dim)
+        grid = jax.image.resize(grid, (1, side_out, side_out, dim), method="bicubic")
+        grid = grid.reshape(1, side_out * side_out, dim)
+        return jnp.concatenate([cls_embed, grid], axis=1)
+
+    def forward_feature(self, x, deterministic: bool = True):
+        """(reference: models/vit.py:139-151). x: NHWC."""
+        out = self.patch_embedding(x)
+        b, n, _ = out.shape
+        cls = jnp.broadcast_to(self.cls_token.astype(out.dtype), (b, 1, self.dim))
+        out = jnp.concatenate([cls, out], axis=1)
+        out = out + self.interpolate_pos_embedding(n).astype(out.dtype)
+        out = self.pos_dropout(out, deterministic=deterministic)
+        for layer in self.layers:
+            out = layer(out, deterministic)
+        out = self.norm(out)
+        return out[:, 0]
+
+    def __call__(self, x, deterministic: bool = True):
+        """Accepts one array or a list of crops (reference: models/vit.py:177-203).
+
+        Crops with equal spatial size are concatenated and run in a single
+        batched forward; grouping happens at trace time, so shapes stay static
+        under jit.
+        """
+        if not isinstance(x, (list, tuple)):
+            x = [x]
+
+        groups: list[list[jax.Array]] = []
+        sizes: list[Tuple[int, int]] = []
+        for crop in x:  # consecutive grouping, like unique_consecutive
+            size = crop.shape[1:3]
+            if sizes and sizes[-1] == size:
+                groups[-1].append(crop)
+            else:
+                groups.append([crop])
+                sizes.append(size)
+
+        feats = []
+        for group in groups:
+            batch = jnp.concatenate(group, axis=0) if len(group) > 1 else group[0]
+            feats.append(self.forward_feature(batch, deterministic))
+        output = jnp.concatenate(feats, axis=0) if len(feats) > 1 else feats[0]
+
+        if self.n_class is not None:
+            output = self.head(output.astype(jnp.float32))
+        return output
+
+
+class DINOHead(nn.Module):
+    """MLP → L2-normalize → weight-normed linear (reference: models/vit.py:206-262)."""
+
+    out_dim: int
+    use_bn: bool = False
+    norm_last_layer: bool = True
+    depth: int = 3
+    dim_ff: int = 2048
+    dim_bottleneck: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        init = trunc_normal_init(0.02)
+        h = x
+        if self.depth == 1:
+            h = nn.Dense(self.dim_bottleneck, dtype=self.dtype, kernel_init=init, name="mlp_0")(h)
+        else:
+            h = nn.Dense(self.dim_ff, dtype=self.dtype, kernel_init=init, name="mlp_0")(h)
+            if self.use_bn:
+                h = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+                                 dtype=self.dtype, name="bn_0")(h)
+            h = jax.nn.gelu(h, approximate=False)
+            for i in range(self.depth - 2):
+                h = nn.Dense(self.dim_ff, dtype=self.dtype, kernel_init=init,
+                             name=f"mlp_{i + 1}")(h)
+                if self.use_bn:
+                    h = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+                                     dtype=self.dtype, name=f"bn_{i + 1}")(h)
+                h = jax.nn.gelu(h, approximate=False)
+            h = nn.Dense(self.dim_bottleneck, dtype=self.dtype, kernel_init=init,
+                         name=f"mlp_{self.depth - 1}")(h)
+
+        # L2 normalize (reference: models/vit.py:259)
+        h = h.astype(jnp.float32)
+        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+
+        # weight-normed last linear, gain frozen to 1 (reference: models/vit.py:244-248):
+        # w = g * v / ||v||_row ; g == 1 when norm_last_layer (non-trainable).
+        v = self.param("last_v", init, (self.dim_bottleneck, self.out_dim), jnp.float32)
+        v_norm = jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), 1e-12)
+        w = v / v_norm
+        if not self.norm_last_layer:
+            g = self.param("last_g", nn.initializers.ones, (self.out_dim,), jnp.float32)
+            w = w * g
+        return h @ w
+
+
+class DINOModel(nn.Module):
+    """Backbone + DINO head, with the multi-crop grouped forward."""
+
+    backbone: VisionTransformer
+    head: DINOHead
+
+    def __call__(self, x, deterministic: bool = True):
+        feats = self.backbone(x, deterministic)
+        return self.head(feats, deterministic)
+
+
+# ---------------------------------------------------------------------------
+# Registry entries
+# ---------------------------------------------------------------------------
+
+
+@register("model", "vit")
+class ViTConfig(TypedConfig):
+    """Plain ViT classifier (reference class models/vit.py:79; the reference
+    only conf-registers the DINO variant, this adds the classification entry
+    the training loop needs for ImageNet runs)."""
+
+    image_size: Any = 224
+    window_size: int = 16  # reference calls the patch size "window_size"
+    n_class: int = 1000
+    depth: int = 12
+    dim: int = 384
+    n_head: int = 6
+    dim_ff: int = 1536
+    dropout: float = 0.0
+    drop_attn: float = 0.0
+    drop_ff: float = 0.0
+    drop_path: float = 0.0
+
+    def make(self, dtype=jnp.float32, drop_path: Optional[float] = None,
+             dropout: Optional[float] = None) -> VisionTransformer:
+        return VisionTransformer(
+            image_size=tuple2(self.image_size),
+            patch_size=self.window_size,
+            depth=self.depth,
+            dim=self.dim,
+            n_head=self.n_head,
+            dim_ff=self.dim_ff,
+            dropout=self.dropout if dropout is None else dropout,
+            drop_attn=self.drop_attn,
+            drop_ff=self.drop_ff,
+            drop_path=self.drop_path if drop_path is None else drop_path,
+            n_class=self.n_class,
+            dtype=dtype,
+        )
+
+
+@register("model", "dino")
+class DINOConfig(TypedConfig):
+    """(reference factory: models/vit.py:265-307)"""
+
+    image_size: Any = 224
+    window_size: int = 16
+    depth: int = 12
+    dim: int = 384
+    n_head: int = 6
+    dim_ff: int = 1536
+    dropout: float = 0.0
+    drop_attn: float = 0.0
+    drop_ff: float = 0.0
+    drop_path: float = 0.0
+    dim_head_out: int = 65536
+    use_bn: bool = False
+    norm_last_layer: bool = True
+    depth_head: int = 3
+    dim_head_ff: int = 2048
+    dim_head_bottleneck: int = 256
+
+    def make(self, dtype=jnp.float32, drop_path: Optional[float] = None) -> DINOModel:
+        backbone = VisionTransformer(
+            image_size=tuple2(self.image_size),
+            patch_size=self.window_size,
+            depth=self.depth,
+            dim=self.dim,
+            n_head=self.n_head,
+            dim_ff=self.dim_ff,
+            dropout=self.dropout,
+            drop_attn=self.drop_attn,
+            drop_ff=self.drop_ff,
+            drop_path=self.drop_path if drop_path is None else drop_path,
+            n_class=None,
+            dtype=dtype,
+        )
+        head = DINOHead(
+            out_dim=self.dim_head_out,
+            use_bn=self.use_bn,
+            norm_last_layer=self.norm_last_layer,
+            depth=self.depth_head,
+            dim_ff=self.dim_head_ff,
+            dim_bottleneck=self.dim_head_bottleneck,
+            dtype=dtype,
+        )
+        return DINOModel(backbone=backbone, head=head)
