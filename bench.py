@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark: ViT-S/16 training throughput (images/sec/chip) at 224px.
+
+Runs the full jitted training step (fwd + bwd + AdamW + clip) in bf16 on the
+available TPU chip(s) with synthetic data — the BASELINE.json north-star
+metric.  Prints ONE JSON line.
+
+``vs_baseline`` compares against an A100 data point for the same workload:
+DeiT-S (=ViT-S/16) training at 224px sustains ~1000 images/sec/chip on a
+40GB A100 with AMP + channels-last (public timm/DeiT training logs; the
+reference repo itself publishes no throughput numbers — SURVEY §6).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_BASELINE_IMG_PER_SEC = 1000.0
+
+
+def main() -> None:
+    from vision_transformers_tpu.config import registry
+    from vision_transformers_tpu.parallel import mesh as meshlib
+    from vision_transformers_tpu.train import engine
+    from vision_transformers_tpu.train.optim import make_optimizer
+    from vision_transformers_tpu.config.schema import Training
+
+    n_chips = len(jax.devices())
+    mesh = meshlib.make_mesh()
+    batch = 256 * n_chips
+
+    model = registry.build(
+        "model",
+        {"type": "vit", "image_size": 224, "window_size": 16, "n_class": 1000,
+         "depth": 12, "dim": 384, "n_head": 6, "dim_ff": 1536},
+    ).make(dtype=jnp.bfloat16)
+
+    train_conf = Training(
+        optimizer={"type": "adamw", "lr": 1e-3},
+        scheduler={"type": "constant", "lr": 1e-3},
+        base_lr=1e-3, weight_decay=0.05, wd_skip="vit", epoch=1,
+        clip_grad_norm=5.0,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    shape = (2, 224, 224, 3)
+    with mesh:
+        params_shape = jax.eval_shape(lambda: model.init(rng, jnp.zeros(shape)))["params"]
+        tx = make_optimizer(train_conf, params_shape, lambda c: 1e-3)
+        state = engine.create_train_state(rng, model, shape, tx)
+        state = jax.device_put(state, meshlib.replicated(mesh))
+        train_step = jax.jit(engine.make_train_step(model, tx), donate_argnums=(0,))
+
+        host = {
+            "image": np.random.default_rng(0).normal(size=(batch, 224, 224, 3)).astype(np.float32),
+            "label1": np.random.default_rng(1).integers(0, 1000, batch).astype(np.int32),
+            "label2": np.random.default_rng(2).integers(0, 1000, batch).astype(np.int32),
+            "ratio": np.ones(batch, np.float32),
+        }
+        sharded = meshlib.shard_batch(mesh, host)
+
+        # warmup + compile (hard value fetch: under the axon relay,
+        # block_until_ready alone does not synchronize)
+        state, m = train_step(state, sharded, rng)
+        _ = float(m["loss"])
+
+        # round-trip latency of a bare fetch, subtracted from the timing
+        trivial = jax.jit(lambda a: a + 1)
+        z = trivial(jnp.zeros(()))
+        _ = float(z)
+        t0 = time.perf_counter()
+        _ = float(trivial(z))
+        round_trip = time.perf_counter() - t0
+
+        n_iter = 20
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            state, m = train_step(state, sharded, rng)
+        _ = float(m["loss"])  # single hard sync; steps are chained via state
+        dt = time.perf_counter() - t0 - round_trip
+
+    img_per_sec = batch * n_iter / dt
+    per_chip = img_per_sec / n_chips
+    print(json.dumps({
+        "metric": "vit_s16_train_images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / A100_BASELINE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,1 @@
-from . import checker, checkpoint, loss, optim, schedule  # noqa: F401
+from . import checker, checkpoint, engine, loss, optim, schedule  # noqa: F401
