@@ -3,4 +3,12 @@
 
 from . import layers  # noqa: F401
 from . import vit  # noqa: F401
+from . import swin  # noqa: F401
+from . import pvt  # noqa: F401
+from . import twins  # noqa: F401
+from . import halo  # noqa: F401
+from .halo import HaloTransformer  # noqa: F401
+from .pvt import PyramidVisionTransformer  # noqa: F401
+from .swin import SwinTransformer  # noqa: F401
+from .twins import TwinsSVT  # noqa: F401
 from .vit import DINOHead, DINOModel, VisionTransformer  # noqa: F401

@@ -1,0 +1,230 @@
+"""Halo Transformer (reference: models/halo_transformer.py).
+
+Blocked local attention with halo: queries come from non-overlapping windows,
+keys/values from overlapping ``window + 2·halo`` neighborhoods (reference
+unfolds with stride=window, padding=halo, :74-92 — borders are zero-padded
+and *not* masked; we reproduce that).
+
+TPU-native notes:
+- torch's ``F.unfold`` becomes ``lax.conv_general_dilated_patches`` — XLA's
+  native overlapping-patch extraction; on TPU it lowers to strided windows
+  read straight from HBM instead of an im2col materialization
+- the relative-position table ((w+2h)² keys × w² queries, zero-init,
+  reference :36-55) is gathered with a static numpy index → constant-folded
+- attention is a batched einsum [B, heads, S, w², (w+2h)²] — MXU-shaped
+
+Reference quirks reproduced:
+- qkv projection has NO bias (:29)
+- the residual is written in-place in the reference (:147-148) — numerically
+  identical to the functional form used here
+- final head widens 2× with LN→Linear→LN→SiLU before the classifier (:214-223)
+- no drop-path ramp: every layer uses the same drop_path (:254-269)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config.registry import TypedConfig, register
+from .layers import FeedForward, drop_path as drop_path_fn, trunc_normal_init, tuple2
+from .swin import PatchEmbedding
+
+Dtype = Any
+
+_LN_EPS = 1e-6  # reference: models/halo_transformer.py:9
+
+
+def halo_position_index(window: int, halo: int) -> tuple[np.ndarray, int]:
+    """[w², (w+2h)²] index into the rel-pos table (reference: :41-55)."""
+    k = window + 2 * halo
+    p = np.arange(k)
+    yy, xx = np.meshgrid(p, p, indexing="ij")
+    q_y = yy[halo:-halo, halo:-halo].reshape(-1, 1)
+    q_x = xx[halo:-halo, halo:-halo].reshape(-1, 1)
+    dy = yy.reshape(1, -1) - q_y + (window + halo - 1)
+    dx = xx.reshape(1, -1) - q_x + (window + halo - 1)
+    pos = dy * k + dx
+    max_pos = (window + halo - 1) * 2 * k + (window + halo - 1) * 2
+    return pos, max_pos
+
+
+class HaloAttention(nn.Module):
+    """(reference: models/halo_transformer.py:22-116)"""
+
+    n_head: int
+    dim_head: int
+    window_size: int
+    halo_size: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, h, w, dim = x.shape
+        window, halo = self.window_size, self.halo_size
+        hs, ws = h // window, w // window
+        n_win = hs * ws
+        inner = self.n_head * self.dim_head
+        k_size = window + 2 * halo
+
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(0.02), name="weight")(x)
+        q, kv = qkv[..., :inner], qkv[..., inner:]
+
+        # queries: non-overlapping windows → [b, head, S, w², d]
+        q = q.reshape(b, hs, window, ws, window, self.n_head, self.dim_head)
+        q = q.transpose(0, 5, 1, 3, 2, 4, 6).reshape(
+            b, self.n_head, n_win, window * window, self.dim_head
+        )
+
+        # keys/values: overlapping halo neighborhoods.  patches feature dim is
+        # ordered (c, ky, kx) — same as torch unfold.
+        patches = jax.lax.conv_general_dilated_patches(
+            kv.transpose(0, 3, 1, 2),  # NCHW
+            filter_shape=(k_size, k_size),
+            window_strides=(window, window),
+            padding=((halo, halo), (halo, halo)),
+        )  # [b, 2*inner*k², hs, ws]
+        patches = patches.reshape(b, 2, self.n_head, self.dim_head, k_size * k_size, n_win)
+        patches = patches.transpose(1, 0, 2, 5, 4, 3)  # [2, b, head, S, k², d]
+        key, value = patches[0], patches[1]
+
+        scale = 1.0 / math.sqrt(self.dim_head)
+        score = jnp.einsum("bhsqd,bhskd->bhsqk", q, key) * scale
+
+        pos, max_pos = halo_position_index(window, halo)
+        table = self.param("rel_pos", nn.initializers.zeros,
+                           (max_pos + 1, self.n_head), jnp.float32)
+        bias = table[pos]  # [w², k², head]
+        score = score + bias.transpose(2, 0, 1).astype(score.dtype)[None, :, None]
+
+        attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bhsqk,bhskd->bhsqd", attn, value)
+        out = out.transpose(0, 2, 3, 1, 4).reshape(b, n_win, window * window, inner)
+        out = nn.Dense(dim, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(0.02), name="linear")(out)
+        out = out.reshape(b, hs, ws, window, window, dim)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, dim)
+        return out
+
+
+class HaloLayer(nn.Module):
+    """(reference: models/halo_transformer.py:119-150)"""
+
+    n_head: int
+    dim_head: int
+    dim_ff: int
+    window_size: int
+    halo_size: int
+    drop_ff: float = 0.0
+    drop_attn: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        def dp(y):
+            if deterministic or self.drop_path == 0.0:
+                return y
+            return drop_path_fn(y, self.drop_path, self.make_rng("dropout"), False)
+
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_attn")(x)
+        h = HaloAttention(self.n_head, self.dim_head, self.window_size, self.halo_size,
+                          self.drop_attn, dtype=self.dtype, name="attn")(h, deterministic)
+        x = x + dp(h)
+
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_ff")(x)
+        h = FeedForward(dim=self.dim_ff, activation=jax.nn.silu, dropout=self.drop_ff,
+                        dtype=self.dtype, name="ff")(h, deterministic)
+        return x + dp(h)
+
+
+class HaloTransformer(nn.Module):
+    """(reference: models/halo_transformer.py:176-280)"""
+
+    image_size: Tuple[int, int]
+    n_class: int
+    depths: Tuple[int, int, int, int]
+    dims: Tuple[int, int, int, int]
+    dim_head: int
+    n_heads: Tuple[int, int, int, int]
+    dim_ffs: Tuple[int, int, int, int]
+    window_size: int
+    halo_size: int
+    drop_ff: float = 0.0
+    drop_attn: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        reductions = (4, 2, 2, 2)
+        out = x
+        for stage in range(4):
+            out = PatchEmbedding(self.dims[stage], reductions[stage], dtype=self.dtype,
+                                 name=f"embed{stage + 1}")(out)
+            for i in range(self.depths[stage]):
+                out = HaloLayer(
+                    self.n_heads[stage], self.dim_head, self.dim_ffs[stage],
+                    self.window_size, self.halo_size,
+                    drop_ff=self.drop_ff, drop_attn=self.drop_attn,
+                    drop_path=self.drop_path, dtype=self.dtype,
+                    name=f"block{stage + 1}_{i}",
+                )(out, deterministic)
+
+        # widened final head (reference :214-223)
+        out = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="final_norm")(out)
+        out = nn.Dense(self.dims[-1] * 2, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(0.02), name="final_linear")(out)
+        out = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="final_norm2")(out)
+        out = jax.nn.silu(out)
+        out = jnp.mean(out, axis=(1, 2))
+        return nn.Dense(self.n_class, dtype=jnp.float32,
+                        kernel_init=trunc_normal_init(0.02), name="classifier")(
+            out.astype(jnp.float32)
+        )
+
+
+@register("model", "halo_transformer")
+class HaloConfig(TypedConfig):
+    """HaloNet-style defaults (the reference ships the class unregistered,
+    models/halo_transformer.py:176; registered here for .conf addressing)."""
+
+    image_size: Any = 256
+    n_class: int = 1000
+    depths: Tuple[int, int, int, int] = (2, 2, 6, 2)
+    dims: Tuple[int, int, int, int] = (96, 192, 384, 768)
+    dim_head: int = 32
+    n_heads: Tuple[int, int, int, int] = (3, 6, 12, 24)
+    dim_ffs: Tuple[int, int, int, int] = (384, 768, 1536, 3072)
+    window_size: int = 8
+    halo_size: int = 2
+    drop_ff: float = 0.0
+    drop_attn: float = 0.0
+    drop_path: float = 0.0
+
+    def make(self, dtype=jnp.float32, drop_path: Optional[float] = None,
+             dropout: Optional[float] = None) -> HaloTransformer:
+        return HaloTransformer(
+            image_size=tuple2(self.image_size),
+            n_class=self.n_class,
+            depths=tuple(self.depths),
+            dims=tuple(self.dims),
+            dim_head=self.dim_head,
+            n_heads=tuple(self.n_heads),
+            dim_ffs=tuple(self.dim_ffs),
+            window_size=self.window_size,
+            halo_size=self.halo_size,
+            drop_ff=self.drop_ff,
+            drop_attn=self.drop_attn,
+            drop_path=self.drop_path if drop_path is None else drop_path,
+            dtype=dtype,
+        )

@@ -1,0 +1,304 @@
+"""Swin Transformer (reference: models/swin_transformer.py).
+
+TPU-native design:
+
+- NHWC end to end; window partition is a reshape+transpose that XLA fuses
+  into the surrounding matmuls — no data movement beyond what the MXU needs
+- the cyclic shift (torch.roll, reference :110-115) becomes a static
+  ``jnp.roll`` which XLA lowers to two slices + concat, fused with the qkv
+  projection
+- the relative-position bias table and the shifted-window attention mask are
+  *static* (computed in numpy at trace time, reference builds them as buffers
+  in ``make_mask_pos``, :55-101), so the gather constant-folds and the mask
+  is a compile-time additive constant
+- attention runs as batched einsums over [B, S, heads, w², d] — MXU-shaped;
+  softmax in float32
+
+Reference quirks reproduced for weight-level parity:
+- ``shift = i % 2 == 0``: the FIRST layer of each block is shifted
+  (reference :362 — opposite of the paper)
+- the shifted mask criterion is ``|Δy| < w and |Δx| < w`` on pre-roll
+  coordinates (reference :80-92), not the paper's region-id partition
+- the bias table is zero-initialized (reference :47)
+- drop-path ramp is ``drop_path * i / sum(depths)`` over transformer layers
+  only (reference :286-321)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..config.registry import TypedConfig, register
+from .layers import FeedForward, drop_path as drop_path_fn, trunc_normal_init, tuple2
+
+Dtype = Any
+
+_LN_EPS = 1e-6  # reference: models/swin_transformer.py:12
+
+
+def patchify(x: jax.Array, size: int) -> jax.Array:
+    """[B,H,W,D] → [B,H/s,W/s,s·s·D], feature order (sy, sx, d)
+    (reference: models/swin_transformer.py:15-22)."""
+    b, h, w, d = x.shape
+    x = x.reshape(b, h // size, size, w // size, size, d)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // size, w // size, size * size * d)
+
+
+def _window_coords(input_size: Tuple[int, int], window: int, shift: bool):
+    """Per-window token coordinates on the (optionally rolled) image grid.
+
+    Returns (y, x), each [n_windows, window²], token order (wy, wx) row-major
+    — matching the attention head reshape.
+    """
+    h, w = input_size
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    if shift:
+        roll = window // 2
+        yy = np.roll(yy, (-roll, -roll), (0, 1))
+        xx = np.roll(xx, (-roll, -roll), (0, 1))
+
+    def part(c):
+        c = c.reshape(h // window, window, w // window, window)
+        c = c.transpose(0, 2, 1, 3)
+        return c.reshape(-1, window * window)
+
+    return part(yy), part(xx)
+
+
+def relative_position_index(window: int) -> np.ndarray:
+    """[w², w²] index into the (2w-1)² bias table (reference: :42-47,98-101)."""
+    y, x = _window_coords((window, window), window, shift=False)
+    dy = y[0][:, None] - y[0][None, :]
+    dx = x[0][:, None] - x[0][None, :]
+    return (dy + window - 1) * (2 * window - 1) + (dx + window - 1)
+
+
+def shifted_window_mask(input_size: Tuple[int, int], window: int) -> np.ndarray:
+    """[n_windows, w², w²] additive mask (0 or -inf-ish) for shifted windows.
+
+    Reference criterion (models/swin_transformer.py:80-92): a (query, key)
+    pair may attend iff both its original-grid coordinate deltas are within
+    the window extent.
+    """
+    y, x = _window_coords(input_size, window, shift=True)
+    dy = y[:, :, None] - y[:, None, :]
+    dx = x[:, :, None] - x[:, None, :]
+    local = (np.abs(dy) < window) & (np.abs(dx) < window)
+    return np.where(local, 0.0, -1e9).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    """Windowed MHSA with relative-position bias and optional cyclic shift
+    (reference: models/swin_transformer.py:25-160)."""
+
+    n_head: int
+    dim_head: int
+    input_size: Tuple[int, int]
+    window_size: int
+    shift: bool
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, h, w, dim = x.shape
+        window = self.window_size
+        hs, ws = h // window, w // window
+        inner = self.n_head * self.dim_head
+
+        roll = window // 2
+        if self.shift:
+            x = jnp.roll(x, (-roll, -roll), (1, 2))
+
+        qkv = nn.Dense(inner * 3, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(0.02), name="weight")(x)
+        qkv = qkv.reshape(b, hs, window, ws, window, 3, self.n_head, self.dim_head)
+        # [b, S, 3, head, w², d]
+        qkv = qkv.transpose(0, 1, 3, 5, 6, 2, 4, 7).reshape(
+            b, hs * ws, 3, self.n_head, window * window, self.dim_head
+        )
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        scale = 1.0 / math.sqrt(self.dim_head)
+        score = jnp.einsum("bshqd,bshkd->bshqk", q, k) * scale
+
+        bias_table = self.param(
+            "rel_pos", nn.initializers.zeros,
+            ((2 * window - 1) ** 2, self.n_head), jnp.float32,
+        )
+        pos_index = relative_position_index(window)  # static
+        bias = bias_table[pos_index]  # [w², w², head] — constant-folded gather
+        score = score + bias.transpose(2, 0, 1).astype(score.dtype)[None, None]
+
+        if self.shift:
+            mask = shifted_window_mask((h, w), window)  # static [S, w², w²]
+            score = score + jnp.asarray(mask[None, :, None], score.dtype)
+
+        attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bshqk,bshkd->bshqd", attn, v)
+        out = out.reshape(b, hs, ws, self.n_head, window, window, self.dim_head)
+        out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(b, h, w, inner)
+        out = nn.Dense(dim, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(0.02), name="linear")(out)
+
+        if self.shift:
+            out = jnp.roll(out, (roll, roll), (1, 2))
+        return out
+
+
+class SwinLayer(nn.Module):
+    """Pre-LN window-attention block (reference: :163-197)."""
+
+    n_head: int
+    dim_head: int
+    dim_ff: int
+    input_size: Tuple[int, int]
+    window_size: int
+    shift: bool
+    drop_ff: float = 0.0
+    drop_attn: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        def dp(y):
+            if deterministic or self.drop_path == 0.0:
+                return y
+            return drop_path_fn(y, self.drop_path, self.make_rng("dropout"), False)
+
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_attn")(x)
+        h = WindowAttention(
+            self.n_head, self.dim_head, self.input_size, self.window_size,
+            self.shift, self.drop_attn, dtype=self.dtype, name="attn",
+        )(h, deterministic)
+        x = x + dp(h)
+
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_ff")(x)
+        h = FeedForward(dim=self.dim_ff, activation=jax.nn.silu,
+                        dropout=self.drop_ff, dtype=self.dtype, name="ff")(h, deterministic)
+        return x + dp(h)
+
+
+class PatchEmbedding(nn.Module):
+    """patchify → linear → LN (reference: :200-213)."""
+
+    out_dim: int
+    window_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = patchify(x, self.window_size)
+        out = nn.Dense(self.out_dim, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(0.02), name="linear")(out)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+
+
+class PatchMerge(nn.Module):
+    """patchify → LN → linear(no bias) (reference: :216-229)."""
+
+    out_dim: int
+    window_size: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = patchify(x, self.window_size)
+        out = nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+        return nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                        kernel_init=trunc_normal_init(0.02), name="linear")(out)
+
+
+class SwinTransformer(nn.Module):
+    """4-stage Swin (reference: :236-379)."""
+
+    image_size: Tuple[int, int]
+    n_class: int
+    depths: Tuple[int, int, int, int]
+    dims: Tuple[int, int, int, int]
+    dim_head: int
+    n_heads: Tuple[int, int, int, int]
+    dim_ffs: Tuple[int, int, int, int]
+    window_size: int
+    drop_ff: float = 0.0
+    drop_attn: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        image_size = tuple2(self.image_size)
+        n_layers = sum(self.depths)
+        # drop-path ramp i/n_layers over transformer layers (reference :286-321)
+        rates = [self.drop_path * i / n_layers for i in range(n_layers)]
+
+        out = PatchEmbedding(self.dims[0], 4, dtype=self.dtype, name="patch_embedding")(x)
+
+        i_layer = 0
+        size = (image_size[0] // 4, image_size[1] // 4)
+        for stage in range(4):
+            if stage > 0:
+                out = PatchMerge(self.dims[stage], 2, dtype=self.dtype,
+                                 name=f"merge{stage + 1}")(out)
+                size = (size[0] // 2, size[1] // 2)
+            for i in range(self.depths[stage]):
+                out = SwinLayer(
+                    self.n_heads[stage], self.dim_head, self.dim_ffs[stage],
+                    size, self.window_size,
+                    shift=(i % 2 == 0),  # reference quirk :362
+                    drop_ff=self.drop_ff, drop_attn=self.drop_attn,
+                    drop_path=rates[i_layer], dtype=self.dtype,
+                    name=f"block{stage + 1}_{i}",
+                )(out, deterministic)
+                i_layer += 1
+
+        out = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="final_norm")(out)
+        out = jnp.mean(out, axis=(1, 2))  # adaptive avg pool (reference :277-281)
+        return nn.Dense(self.n_class, dtype=jnp.float32,
+                        kernel_init=trunc_normal_init(0.02), name="classifier")(
+            out.astype(jnp.float32)
+        )
+
+
+@register("model", "swin_transformer")
+class SwinConfig(TypedConfig):
+    """(reference registration: models/swin_transformer.py:236)"""
+
+    image_size: Any = (224, 224)
+    n_class: int = 1000
+    depths: Tuple[int, int, int, int] = (2, 2, 6, 2)
+    dims: Tuple[int, int, int, int] = (96, 192, 384, 768)
+    dim_head: int = 32
+    n_heads: Tuple[int, int, int, int] = (3, 6, 12, 24)
+    dim_ffs: Tuple[int, int, int, int] = (384, 768, 1536, 3072)
+    window_size: int = 7
+    drop_ff: float = 0.0
+    drop_attn: float = 0.0
+    drop_path: float = 0.0
+
+    def make(self, dtype=jnp.float32, drop_path: Optional[float] = None,
+             dropout: Optional[float] = None) -> SwinTransformer:
+        return SwinTransformer(
+            image_size=tuple2(self.image_size),
+            n_class=self.n_class,
+            depths=tuple(self.depths),
+            dims=tuple(self.dims),
+            dim_head=self.dim_head,
+            n_heads=tuple(self.n_heads),
+            dim_ffs=tuple(self.dim_ffs),
+            window_size=self.window_size,
+            drop_ff=self.drop_ff,
+            drop_attn=self.drop_attn,
+            drop_path=self.drop_path if drop_path is None else drop_path,
+            dtype=dtype,
+        )

@@ -1,0 +1,246 @@
+"""Twins-SVT (reference: models/twins.py).
+
+Alternates windowed local attention (LSA — no relative-position bias, no
+shift) with global sub-sampled attention (GSA — PVT-style strided-conv k/v
+reduction but with NO LayerNorm after the reduce, reference :68-74) inside a
+single layer, each of the four sublayers with its own DropPath residual
+(reference :155-197).  A CPVT positional-encoding generator (depthwise 3×3
+conv residual, reference :25-36) follows the first layer of every block.
+
+TPU notes: both attentions are batched einsums over MXU-shaped operands; the
+depthwise PEG conv lowers to a VPU-friendly small conv that XLA fuses with
+the surrounding residual add.
+
+Reference quirks reproduced:
+- GSA reduction factor == window_size (reference :189)
+- drop-path ramp i/sum(depths), transformer layers only (reference :275-321)
+- q/kv projections biasless, output projection biased (reference :46-49)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config.registry import TypedConfig, register
+from .layers import FeedForward, drop_path as drop_path_fn, trunc_normal_init
+from .swin import PatchEmbedding, patchify
+
+Dtype = Any
+
+_LN_EPS = 1e-6  # reference: models/twins.py:12
+
+
+class PositionalEncodingGenerator(nn.Module):
+    """Depthwise 3×3 conv residual (CPVT; reference: models/twins.py:25-36)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        out = nn.Conv(dim, (3, 3), padding=1, use_bias=False,
+                      feature_group_count=dim, dtype=self.dtype,
+                      kernel_init=trunc_normal_init(0.02), name="proj")(x)
+        return out + x
+
+
+class LocalAttention(nn.Module):
+    """Windowed MHSA, no bias table, no shift (reference: models/twins.py:96-152)."""
+
+    n_head: int
+    dim_head: int
+    window_size: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, h, w, dim = x.shape
+        window = self.window_size
+        hs, ws = h // window, w // window
+        inner = self.n_head * self.dim_head
+
+        qkv = nn.Dense(inner * 3, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(0.02), name="weight")(x)
+        qkv = qkv.reshape(b, hs, window, ws, window, 3, self.n_head, self.dim_head)
+        qkv = qkv.transpose(0, 1, 3, 5, 6, 2, 4, 7).reshape(
+            b, hs * ws, 3, self.n_head, window * window, self.dim_head
+        )
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        score = jnp.einsum("bshqd,bshkd->bshqk", q, k) / math.sqrt(self.dim_head)
+        attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bshqk,bshkd->bshqd", attn, v)
+        out = out.reshape(b, hs, ws, self.n_head, window, window, self.dim_head)
+        out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(b, h, w, inner)
+        return nn.Dense(dim, dtype=self.dtype,
+                        kernel_init=trunc_normal_init(0.02), name="linear")(out)
+
+
+class GlobalSubsampledAttention(nn.Module):
+    """PVT-style SRA on an NHWC map, no post-reduce norm
+    (reference: models/twins.py:39-93)."""
+
+    n_head: int
+    reduction: int = 1
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, h, w, dim = x.shape
+        dim_head = dim // self.n_head
+
+        def heads(t):
+            return t.reshape(b, -1, self.n_head, dim_head)
+
+        q = heads(nn.Dense(dim, use_bias=False, dtype=self.dtype,
+                           kernel_init=trunc_normal_init(0.02), name="linear_q")(x))
+
+        if self.reduction > 1:
+            red = nn.Conv(dim, (self.reduction, self.reduction),
+                          strides=(self.reduction, self.reduction), padding="VALID",
+                          dtype=self.dtype, kernel_init=trunc_normal_init(0.02),
+                          name="reduce_conv")(x)
+            kv_in = red.reshape(b, -1, dim)
+        else:
+            kv_in = x.reshape(b, -1, dim)
+
+        kv = nn.Dense(dim * 2, use_bias=False, dtype=self.dtype,
+                      kernel_init=trunc_normal_init(0.02), name="linear_kv")(kv_in)
+        k, v = jnp.split(kv, 2, axis=-1)
+        k, v = heads(k), heads(v)
+
+        score = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dim_head)
+        attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, dim)
+        return nn.Dense(dim, dtype=self.dtype,
+                        kernel_init=trunc_normal_init(0.02), name="linear")(out)
+
+
+class TwinsLayer(nn.Module):
+    """LSA + FF + GSA + FF, four DropPath residuals (reference: :155-197)."""
+
+    n_head: int
+    dim_head: int
+    dim_ff: int
+    window_size: int
+    drop_ff: float = 0.0
+    drop_attn: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        def dp(y):
+            if deterministic or self.drop_path == 0.0:
+                return y
+            return drop_path_fn(y, self.drop_path, self.make_rng("dropout"), False)
+
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_attn_local")(x)
+        h = LocalAttention(self.n_head, self.dim_head, self.window_size,
+                           self.drop_attn, dtype=self.dtype, name="attn_local")(h, deterministic)
+        x = x + dp(h)
+
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_ff_local")(x)
+        h = FeedForward(dim=self.dim_ff, activation=jax.nn.silu, dropout=self.drop_ff,
+                        dtype=self.dtype, name="ff_local")(h, deterministic)
+        x = x + dp(h)
+
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_attn_global")(x)
+        h = GlobalSubsampledAttention(self.n_head, self.window_size, self.drop_attn,
+                                      dtype=self.dtype, name="attn_global")(h, deterministic)
+        x = x + dp(h)
+
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_ff_global")(x)
+        h = FeedForward(dim=self.dim_ff, activation=jax.nn.silu, dropout=self.drop_ff,
+                        dtype=self.dtype, name="ff_global")(h, deterministic)
+        return x + dp(h)
+
+
+class TwinsSVT(nn.Module):
+    """(reference: models/twins.py:220-356)"""
+
+    n_class: int
+    depths: Tuple[int, int, int, int]
+    dims: Tuple[int, int, int, int]
+    dim_head: int
+    n_heads: Tuple[int, int, int, int]
+    dim_ffs: Tuple[int, int, int, int]
+    window_size: int
+    drop_ff: float = 0.0
+    drop_attn: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        n_layers = sum(self.depths)
+        rates = [self.drop_path * i / n_layers for i in range(n_layers)]
+        reductions = (4, 2, 2, 2)
+
+        out = x
+        i_layer = 0
+        for stage in range(4):
+            out = PatchEmbedding(self.dims[stage], reductions[stage], dtype=self.dtype,
+                                 name=f"embed{stage + 1}")(out)
+            for i in range(self.depths[stage]):
+                out = TwinsLayer(
+                    self.n_heads[stage], self.dim_head, self.dim_ffs[stage],
+                    self.window_size, drop_ff=self.drop_ff, drop_attn=self.drop_attn,
+                    drop_path=rates[i_layer], dtype=self.dtype,
+                    name=f"block{stage + 1}_{i}",
+                )(out, deterministic)
+                i_layer += 1
+                if i == 0:
+                    out = PositionalEncodingGenerator(
+                        dtype=self.dtype, name=f"peg{stage + 1}"
+                    )(out)
+
+        out = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="final_norm")(out)
+        out = jnp.mean(out, axis=(1, 2))
+        return nn.Dense(self.n_class, dtype=jnp.float32,
+                        kernel_init=trunc_normal_init(0.02), name="classifier")(
+            out.astype(jnp.float32)
+        )
+
+
+@register("model", "twins_svt")
+class TwinsConfig(TypedConfig):
+    """(reference registration: models/twins.py:220). Twins-SVT-S defaults."""
+
+    n_class: int = 1000
+    depths: Tuple[int, int, int, int] = (2, 2, 10, 4)
+    dims: Tuple[int, int, int, int] = (64, 128, 256, 512)
+    dim_head: int = 32
+    n_heads: Tuple[int, int, int, int] = (2, 4, 8, 16)
+    dim_ffs: Tuple[int, int, int, int] = (256, 512, 1024, 2048)
+    window_size: int = 7
+    drop_ff: float = 0.0
+    drop_attn: float = 0.0
+    drop_path: float = 0.0
+
+    def make(self, dtype=jnp.float32, drop_path: Optional[float] = None,
+             dropout: Optional[float] = None) -> TwinsSVT:
+        return TwinsSVT(
+            n_class=self.n_class,
+            depths=tuple(self.depths),
+            dims=tuple(self.dims),
+            dim_head=self.dim_head,
+            n_heads=tuple(self.n_heads),
+            dim_ffs=tuple(self.dim_ffs),
+            window_size=self.window_size,
+            drop_ff=self.drop_ff,
+            drop_attn=self.drop_attn,
+            drop_path=self.drop_path if drop_path is None else drop_path,
+            dtype=dtype,
+        )
