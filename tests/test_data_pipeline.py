@@ -1,0 +1,189 @@
+"""Records format + host loader + device augmentation pipeline tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from vision_transformers_tpu.data import ops
+from vision_transformers_tpu.data.records import RecordDataset, pack_image_folder
+from vision_transformers_tpu.data.pipeline import (
+    HostLoader,
+    decode_random_resized_crop,
+    decode_valid,
+    make_device_augment,
+    make_valid_prep,
+)
+
+
+@pytest.fixture(scope="module")
+def image_folder(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    for cls in ("cat", "dog", "eel"):
+        d = root / "train" / cls
+        d.mkdir(parents=True)
+        for i in range(6):
+            arr = rng.integers(0, 256, (48 + i, 56, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.jpg", quality=90)
+    return root
+
+
+@pytest.fixture(scope="module")
+def packed(image_folder):
+    out = str(image_folder / "train")
+    n = pack_image_folder(str(image_folder / "train"), out, verbose=False)
+    assert n == 18
+    return out
+
+
+def test_record_roundtrip(packed, image_folder):
+    ds = RecordDataset(packed)
+    assert len(ds) == 18
+    label, payload = ds.get(0)
+    assert label == 0  # 'cat' sorts first
+    img = Image.open(__import__("io").BytesIO(payload))
+    assert img.size == (56, 48)
+    # classes 0,1,2 each 6 images, in order
+    labels = [ds.get(i)[0] for i in range(18)]
+    assert labels == [0] * 6 + [1] * 6 + [2] * 6
+
+
+def test_decode_random_resized_crop(packed):
+    import random
+
+    ds = RecordDataset(packed)
+    _, payload = ds.get(3)
+    out = decode_random_resized_crop(payload, 32, random.Random(0))
+    assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+    # deterministic per rng seed
+    out2 = decode_random_resized_crop(payload, 32, random.Random(0))
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_decode_valid(packed):
+    ds = RecordDataset(packed)
+    _, payload = ds.get(3)
+    out = decode_valid(payload, 32)
+    assert out.shape == (32, 32, 3)
+
+
+def test_host_loader_epoch(packed):
+    ds = RecordDataset(packed)
+    loader = HostLoader(ds, batch_size=4, image_size=32, train=True,
+                        num_workers=2, seed=0, shard_index=0, shard_count=1)
+    batches = list(loader.epoch(0))
+    assert len(batches) == len(loader) == 4  # 18 // 4
+    for b in batches:
+        assert b["image"].shape == (4, 32, 32, 3)
+        assert b["image"].dtype == np.uint8
+        assert b["label"].shape == (4,)
+    # different epochs shuffle differently
+    b0 = list(loader.epoch(0))[0]
+    b1 = list(loader.epoch(1))[0]
+    assert not np.array_equal(b0["label"], b1["label"]) or \
+        not np.array_equal(b0["image"], b1["image"])
+
+
+def test_host_loader_sharding(packed):
+    ds = RecordDataset(packed)
+    l0 = HostLoader(ds, 2, 16, train=False, shard_index=0, shard_count=2,
+                    drop_last=False)
+    l1 = HostLoader(ds, 2, 16, train=False, shard_index=1, shard_count=2,
+                    drop_last=False)
+    lab0 = np.concatenate([b["label"] for b in l0.epoch(0)])
+    lab1 = np.concatenate([b["label"] for b in l1.epoch(0)])
+    assert len(lab0) + len(lab1) == 18
+    ds_labels = sorted([ds.get(i)[0] for i in range(18)])
+    assert sorted(np.concatenate([lab0, lab1]).tolist()) == ds_labels
+
+
+def test_device_augment_full_stack():
+    augment = make_device_augment(
+        train_size=32, randaug_layer=2, randaug_magnitude=9,
+        randaug_increasing=True, erasing=0.25, mixup=0.8, cutmix=1.0,
+        mix_before_aug=True,
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 10, 8).astype(np.int32))
+    batch = augment(jax.random.PRNGKey(0), images, labels)
+    assert batch["image"].shape == (8, 32, 32, 3)
+    assert batch["image"].dtype == jnp.float32
+    # normalized range
+    assert float(batch["image"].min()) > -4 and float(batch["image"].max()) < 4
+    assert batch["label1"].shape == (8,) and batch["label2"].shape == (8,)
+    r = np.asarray(batch["ratio"])
+    assert (r >= 0).all() and (r <= 1).all()
+
+
+def test_mix_batch_parity_alternation():
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.normal(size=(8, 8, 8, 3)).astype(np.float32))
+    labels = jnp.arange(8)
+    out, l1, l2, ratio = ops.mix_batch(jax.random.PRNGKey(0), images, labels,
+                                       mixup=0.8, cutmix=1.0)
+    np.testing.assert_array_equal(np.asarray(l1), np.arange(8))
+    # even indices: mixup → output is a convex blend (no pixel outside minmax)
+    o = np.asarray(out)
+    im = np.asarray(images)
+    # cutmix rows (odd): every pixel equals img1 or partner exactly
+    # (partner unknown — check pixels belong to the batch's pixel set per location)
+    assert o.shape == im.shape
+
+
+def test_mix_batch_disabled_identity():
+    images = jnp.ones((4, 8, 8, 3))
+    labels = jnp.arange(4)
+    out, l1, l2, ratio = ops.mix_batch(jax.random.PRNGKey(0), images, labels, 0.0, 0.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(images))
+    np.testing.assert_array_equal(np.asarray(ratio), np.ones(4))
+
+
+def test_random_erasing_pixel_mode():
+    images = jnp.zeros((16, 24, 24, 3))
+    out = ops.random_erasing(jax.random.PRNGKey(0), images, p=1.0, mode="pixel")
+    o = np.asarray(out)
+    # every image should have an erased noisy region
+    per_img = (o != 0).any((1, 2, 3))
+    assert per_img.mean() > 0.9
+    # erased pixels look ~ normal noise
+    noise = o[o != 0]
+    assert 0.5 < noise.std() < 1.5
+
+
+def test_random_erasing_prob_zero():
+    images = jnp.ones((4, 16, 16, 3))
+    out = ops.random_erasing(jax.random.PRNGKey(0), images, p=0.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(images))
+
+
+def test_hflip():
+    img = jnp.asarray(np.arange(2 * 1 * 4 * 3, dtype=np.float32).reshape(2, 1, 4, 3))
+    out = ops.random_hflip(jax.random.PRNGKey(0), img, p=1.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img[:, :, ::-1]))
+
+
+def test_normalize_matches_torchvision_values():
+    x = jnp.full((1, 2, 2, 3), 255.0)
+    out = np.asarray(ops.normalize(x))
+    expected = (1.0 - np.asarray(ops.IMAGENET_MEAN)) / np.asarray(ops.IMAGENET_STD)
+    np.testing.assert_allclose(out[0, 0, 0], expected, rtol=1e-5)
+
+
+def test_dino_color_ops_run():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(4, 16, 16, 3)).astype(np.float32))
+    out = ops.color_jitter(jax.random.PRNGKey(0), x)
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+    out = ops.random_grayscale(jax.random.PRNGKey(1), x, p=1.0)
+    g = np.asarray(out)
+    np.testing.assert_allclose(g[..., 0], g[..., 1], rtol=1e-5)
+    out = ops.gaussian_blur(jax.random.PRNGKey(2), x, p=1.0)
+    assert float(jnp.std(out)) < float(jnp.std(x))  # blur reduces variance
+    out = ops.random_solarize(jax.random.PRNGKey(3), x, p=1.0)
+    expected = np.where(np.asarray(x) < 0.5, np.asarray(x), 1.0 - np.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-5)

@@ -86,10 +86,11 @@ def _affine_nearest(img, a, b, c, d, e, f):
     """Pillow's NEAREST affine: src = floor(A·(dst+0.5) − ε) where ε is the
     half-ULP bias of its 16.16 fixed-point accumulator (ImagingTransformAffine;
     calibrated empirically — see tests/test_augment.py geometry goldens).
-    Computed in float64 to keep the fixed-point edge cases exact."""
+    float32 keeps the geometry goldens exact at ImageNet sizes; coordinates
+    are ≤ a few hundred so the ε stays representable."""
     h, w = img.shape[:2]
-    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float64),
-                          jnp.arange(w, dtype=jnp.float64), indexing="ij")
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
     sx = jnp.floor(a * (xs + 0.5) + b * (ys + 0.5) + c - _FIX_EPS).astype(jnp.int32)
     sy = jnp.floor(d * (xs + 0.5) + e * (ys + 0.5) + f - _FIX_EPS).astype(jnp.int32)
     valid = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)

@@ -1,0 +1,245 @@
+"""Host→device input pipeline.
+
+Split of responsibilities (the idiomatic TPU layout, SURVEY §7 step 4):
+
+- HOST (thread pool): record read → image decode → RandomResizedCrop /
+  resize+center-crop → uint8 [B,H,W,3] numpy batches.  Decode and crop are
+  inherently per-sample/variable-shape, so they stay on CPU threads that
+  overlap with device compute via a prefetch queue.
+- DEVICE (one jitted program): hflip → mixup/cutmix → RandAugment →
+  normalize → RandomErasing, batched with per-sample PRNG (data/augment.py,
+  data/ops.py).  Replaces the reference's dataloader-worker transform stack
+  (factory.py:159-226).
+
+Transform order mirrors the reference's ``mix_before_aug`` split
+(factory.py:183-189): True → crop+flip, mix, randaug+normalize+erase;
+False → crop+flip+randaug+normalize+erase, then mix on normalized tensors.
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import queue
+import random as pyrandom
+import threading
+from functools import partial
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+from . import augment as A
+from . import ops
+from .records import RecordDataset
+
+__all__ = [
+    "HostLoader",
+    "decode_random_resized_crop",
+    "decode_valid",
+    "make_device_augment",
+    "make_valid_prep",
+]
+
+
+def _pil_open(payload: bytes):
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    return img.convert("RGB")
+
+
+def decode_random_resized_crop(payload: bytes, size: int, rng: pyrandom.Random,
+                               scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """torchvision RandomResizedCrop semantics, bicubic (factory.py:170)."""
+    from PIL import Image
+
+    img = _pil_open(payload)
+    w, h = img.size
+    area = w * h
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(*scale)
+        aspect = math.exp(rng.uniform(*log_ratio))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            left = rng.randint(0, w - cw)
+            top = rng.randint(0, h - ch)
+            crop = img.resize((size, size), Image.BICUBIC,
+                              box=(left, top, left + cw, top + ch))
+            return np.asarray(crop, np.uint8)
+    # fallback: center crop of clamped aspect (torchvision behavior)
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        cw, ch = int(round(h * ratio[1])), h
+    else:
+        cw, ch = w, h
+    left, top = (w - cw) // 2, (h - ch) // 2
+    crop = img.resize((size, size), Image.BICUBIC,
+                      box=(left, top, left + cw, top + ch))
+    return np.asarray(crop, np.uint8)
+
+
+def decode_valid(payload: bytes, size: int):
+    """Resize(size+32, bicubic) + CenterCrop(size) (factory.py:217-224)."""
+    from PIL import Image
+
+    img = _pil_open(payload)
+    w, h = img.size
+    target = size + 32
+    if w <= h:
+        nw, nh = target, max(1, int(round(h * target / w)))
+    else:
+        nw, nh = max(1, int(round(w * target / h))), target
+    img = img.resize((nw, nh), Image.BICUBIC)
+    left, top = (nw - size) // 2, (nh - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    return np.asarray(img, np.uint8)
+
+
+class HostLoader:
+    """Threaded prefetching batch loader over a RecordDataset.
+
+    Equivalent of the reference's DataLoader + DistributedSampler
+    (factory.py:263-278): per-epoch deterministic shuffle, per-process shard,
+    drop_last, worker threads that decode+crop, a bounded prefetch queue.
+    """
+
+    def __init__(
+        self,
+        dataset: RecordDataset,
+        batch_size: int,
+        image_size: int,
+        train: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        seed: int = 0,
+        shard_index: Optional[int] = None,
+        shard_count: Optional[int] = None,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.train = train
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.shard_index = jax.process_index() if shard_index is None else shard_index
+        self.shard_count = jax.process_count() if shard_count is None else shard_count
+        self.drop_last = drop_last
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if self.train:
+            rng = np.random.default_rng(self.seed + epoch)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        return order[self.shard_index::self.shard_count]
+
+    def __len__(self) -> int:
+        n = len(self._epoch_indices(0))
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        indices = self._epoch_indices(epoch)
+        n_batches = len(self)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def decode_one(i: int):
+            label, payload = self.dataset.get(int(i))
+            if self.train:
+                rng = pyrandom.Random(hash((self.seed, epoch, int(i))))
+                img = decode_random_resized_crop(payload, self.image_size, rng)
+            else:
+                img = decode_valid(payload, self.image_size)
+            return img, label
+
+        error: list = []
+
+        def producer():
+            from concurrent.futures import ThreadPoolExecutor
+
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            break
+                        sel = indices[b * self.batch_size:(b + 1) * self.batch_size]
+                        results = list(pool.map(decode_one, sel))
+                        images = np.stack([r[0] for r in results])
+                        labels = np.asarray([r[1] for r in results], np.int32)
+                        out_q.put({"image": images, "label": labels})
+            except BaseException as e:  # surface worker failures to the consumer
+                error.append(e)
+            finally:
+                out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                yield item
+            if error:
+                raise error[0]
+        finally:
+            stop.set()
+
+
+def make_device_augment(
+    train_size: int,
+    randaug_layer: int = 0,
+    randaug_magnitude: float = 9.0,
+    randaug_increasing: bool = False,
+    randaug_magnitude_std: float = 0.0,
+    randaug_cutout: int = 40,
+    erasing: float = 0.0,
+    mixup: float = 0.0,
+    cutmix: float = 0.0,
+    mix_before_aug: bool = True,
+):
+    """Build the jitted device-side augmentation fn:
+    (key, uint8 images, labels) → train-step batch dict."""
+
+    def augment_fn(key, images, labels):
+        x = images.astype(jax.numpy.float32)
+        k_flip, k_mix, k_aug, k_erase = jax.random.split(key, 4)
+        x = ops.random_hflip(k_flip, x)
+
+        if mix_before_aug:
+            x, l1, l2, ratio = ops.mix_batch(k_mix, x, labels, mixup, cutmix)
+        if randaug_layer > 0:
+            x = A.randaugment(
+                k_aug, x, randaug_layer, randaug_magnitude,
+                cutout=randaug_cutout, increasing=randaug_increasing,
+                magnitude_std=randaug_magnitude_std,
+            )
+        x = ops.normalize(x)
+        if erasing > 0:
+            x = ops.random_erasing(k_erase, x, p=erasing, mode="pixel")
+        if not mix_before_aug:
+            x, l1, l2, ratio = ops.mix_batch(k_mix, x, labels, mixup, cutmix)
+
+        return {"image": x, "label1": l1, "label2": l2, "ratio": ratio}
+
+    return jax.jit(augment_fn)
+
+
+def make_valid_prep():
+    """uint8 valid batch → normalized eval batch dict."""
+
+    def prep(images, labels):
+        x = ops.normalize(images.astype(jax.numpy.float32))
+        return {"image": x, "label1": labels}
+
+    return jax.jit(prep)

@@ -1,0 +1,237 @@
+"""DINO self-distillation training driver (reference: train_dino.py).
+
+Student/teacher share the architecture; the teacher is initialized from the
+student and updated only by per-step EMA (reference :53-76, :257-261).  The
+whole step — teacher forward on 2 global crops, student forward on all
+crops, DINO loss with centering, backward, scheduled weight decay, last-layer
+grad cancel, optimizer update, teacher EMA, center EMA — is ONE jitted
+program over the device mesh.  The reference's explicit ``all_reduce`` in
+``DINOLoss.update_center`` (loss.py:147) disappears: the center's batch mean
+is computed over the globally-sharded batch, so XLA inserts the collective.
+
+Schedules (reference :132-142): LR from the conf scheduler; weight decay
+cosine 0.04→weight_decay_end; teacher momentum cosine m→1.  All are fed to
+the jitted step as traced scalars so nothing re-compiles per epoch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config.schema import ImageNetConfig
+from ..parallel import mesh as meshlib
+from ..utils.logging import get_logger, is_primary
+from . import loss as L
+from .optim import wd_mask
+from .schedule import cosine_schedule, make_schedule
+from .trainer import Meter
+
+__all__ = ["train_dino", "DINOTrainState"]
+
+
+class DINOTrainState(struct.PyTreeNode):
+    step: jax.Array
+    student: Any
+    teacher: Any
+    opt_state: Any
+    center: jax.Array
+
+
+def _last_layer_mask(params):
+    """True where the DINO head's weight-normed last layer lives
+    (reference cancel_last_layer_grad, train_util.py:25-31)."""
+
+    def check(path, x):
+        name = "/".join(str(getattr(k, "key", k)) for k in path).lower()
+        return "last_v" in name or "last_g" in name
+
+    return jax.tree_util.tree_map_with_path(check, params)
+
+
+def train_dino(conf: ImageNetConfig) -> dict:
+    logger = get_logger()
+    task = conf.task
+    assert task is not None, "dino training requires a task: {type: dino, ...} block"
+    training = conf.training
+    mesh = meshlib.make_mesh(conf.n_device, conf.mesh.model)
+    dtype = jnp.bfloat16 if (conf.precision == "bf16" or conf.fp16) else jnp.float32
+    logger.info(f"mesh: {dict(mesh.shape)}; dtype: {dtype.__name__}")
+
+    batch = training.dataloader.batch_size
+    n_crop = task.n_local_crop + 2
+    out_dim = conf.arch.dim_head_out
+
+    # student gets drop-path (reference :47-49); teacher none
+    student_model = conf.arch.make(dtype=dtype, drop_path=task.student_drop_path)
+    teacher_model = conf.arch.make(dtype=dtype, drop_path=0.0)
+
+    # ---- data ----
+    import os
+
+    backend = conf.data_backend
+    if backend == "auto":
+        backend = "records" if os.path.exists(
+            os.path.join(conf.dataset_path, "train.rec")) else "synthetic"
+
+    from ..data.dino import (DINOHostLoader, make_dino_device_augment,
+                             synthetic_dino_batches)
+
+    augment = make_dino_device_augment(task.n_local_crop)
+    if backend == "records":
+        from ..data.records import RecordDataset
+
+        ds = RecordDataset(os.path.join(conf.dataset_path, "train"))
+        loader = DINOHostLoader(
+            ds, batch, task.global_crop_size, task.local_crop_size,
+            task.global_crop_scale, task.local_crop_scale, task.n_local_crop,
+            num_workers=training.dataloader.num_workers, seed=conf.seed,
+        )
+        epoch_len = max(len(loader), 1)
+        host_iter = loader.epoch
+    else:
+        epoch_len = 4
+
+        def host_iter(epoch):
+            return synthetic_dino_batches(
+                batch, task.global_crop_size, task.local_crop_size,
+                task.n_local_crop, epoch_len, seed=epoch,
+            )
+
+    # ---- schedules ----
+    n_iter = epoch_len * training.epoch
+    lr_schedule = make_schedule(training, epoch_len)
+    wd_sched = cosine_schedule(training.weight_decay, task.weight_decay_end, n_iter)
+    momentum_sched = cosine_schedule(task.teacher_momentum, 1.0, n_iter)
+    temp_sched = L.teacher_temperature_schedule(
+        task.warmup_teacher_temperature, task.teacher_temperature,
+        task.warmup_teacher_temperature_epoch, training.epoch,
+    )
+
+    rng = jax.random.PRNGKey(conf.seed)
+    with mesh:
+        g = jnp.zeros((2, task.global_crop_size, task.global_crop_size, 3))
+        l = jnp.zeros((2, task.local_crop_size, task.local_crop_size, 3))
+        init_crops = [g, g] + [l] * task.n_local_crop
+        variables = student_model.init(rng, init_crops)
+        student_params = variables["params"]
+        teacher_params = jax.tree.map(jnp.copy, student_params)  # init from student
+
+        decay_mask = wd_mask(student_params, training.wd_skip)
+        last_mask = _last_layer_mask(student_params)
+
+        tx = optax.chain(
+            optax.clip_by_global_norm(training.clip_grad_norm)
+            if training.clip_grad_norm > 0 else optax.identity(),
+            optax.scale_by_adam(),
+        )
+
+        state = DINOTrainState(
+            step=jnp.zeros((), jnp.int32),
+            student=student_params,
+            teacher=teacher_params,
+            opt_state=tx.init(student_params),
+            center=jnp.zeros((1, out_dim), jnp.float32),
+        )
+        state = jax.device_put(state, meshlib.replicated(mesh))
+
+        def train_step(state, crops, rng, teacher_temp, wd, momentum, freeze):
+            rng = jax.random.fold_in(rng, state.step)
+            teacher_out = teacher_model.apply(
+                {"params": state.teacher}, crops[:2], deterministic=True
+            ).astype(jnp.float32)
+
+            def loss_fn(params):
+                student_out = student_model.apply(
+                    {"params": params}, crops, deterministic=False,
+                    rngs={"dropout": rng},
+                )
+                return L.dino_loss(student_out, teacher_out, state.center,
+                                   teacher_temp, n_crop)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.student)
+
+            # cancel last-layer grads during freeze epochs (reference :250)
+            grads = jax.tree.map(
+                lambda g, is_last: g * jnp.where(is_last & (freeze > 0), 0.0, 1.0),
+                grads, last_mask,
+            )
+
+            updates, opt_state = tx.update(grads, state.opt_state, state.student)
+            lr = lr_schedule(state.step)
+            # torch-AdamW decoupled weight decay with the scheduled wd:
+            # p ← p − lr·(adam + wd·p) on the decay group (reference :235-237)
+            updates = jax.tree.map(
+                lambda u, p, m: -lr * (u + jnp.where(m, wd, 0.0) * p.astype(u.dtype)),
+                updates, state.student, decay_mask,
+            )
+            new_student = optax.apply_updates(state.student, updates)
+
+            # teacher EMA (reference :257-261)
+            new_teacher = jax.tree.map(
+                lambda t, s: t * momentum + s.astype(t.dtype) * (1.0 - momentum),
+                state.teacher, new_student,
+            )
+            new_center = L.update_center(state.center, teacher_out, momentum=0.9)
+
+            metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+            return state.replace(
+                step=state.step + 1, student=new_student, teacher=new_teacher,
+                opt_state=opt_state, center=new_center,
+            ), metrics
+
+        step_jit = jax.jit(train_step, donate_argnums=(0,))
+        checker = conf.checker.make()
+
+        start_epoch = 0
+        if conf.resume:
+            from . import checkpoint as ckpt
+
+            restored = ckpt.restore_checkpoint(conf.resume, {"state": state, "epoch": 0})
+            state, start_epoch = restored["state"], int(restored["epoch"]) + 1
+            logger.info(f"resumed from {conf.resume} at epoch {start_epoch}")
+
+        final_metrics: dict = {}
+        aug_key = jax.random.PRNGKey(conf.seed + 23)
+        for epoch in range(start_epoch, training.epoch):
+            t0 = time.perf_counter()
+            loss_m = Meter()
+            freeze = 1.0 if epoch < task.freeze_last_layer else 0.0
+            it = int(state.step) - 1
+            for i, host_batch in enumerate(host_iter(epoch)):
+                it += 1
+                key = jax.random.fold_in(jax.random.fold_in(aug_key, epoch), i)
+                crops = augment(key, jnp.asarray(host_batch["globals"]),
+                                jnp.asarray(host_batch["locals"]))
+                crops = [meshlib.shard_batch(mesh, c) for c in crops]
+                state, metrics = step_jit(
+                    state, crops, rng,
+                    jnp.float32(temp_sched[epoch]),
+                    jnp.float32(wd_sched[min(it, n_iter - 1)]),
+                    jnp.float32(momentum_sched[min(it, n_iter - 1)]),
+                    jnp.float32(freeze),
+                )
+                loss_m.update(float(metrics["loss"]))
+            dt = time.perf_counter() - t0
+
+            final_metrics = {
+                "epoch": epoch,
+                "loss": loss_m.avg,
+                "lr": float(lr_schedule(jnp.maximum(state.step - 1, 0))),
+                "weight_decay": wd_sched[min(int(state.step) - 1, n_iter - 1)],
+                "images_per_sec": batch * epoch_len / dt,
+            }
+            if is_primary():
+                checker.log(step=epoch, **final_metrics)
+            checker.checkpoint(
+                {"state": jax.device_get(state), "epoch": epoch},
+                f"epoch-{epoch + 1:03d}",
+            )
+
+        return final_metrics

@@ -3,19 +3,30 @@
 One process per *host* (JAX runtime model), sharded jit over the device mesh
 instead of one process per GPU + DDP.  The epoch loop mirrors the reference:
 train epoch → validation (EMA model if enabled) → checker.log → checkpoint →
-progressive-stage advance (re-jit at the new image size).
+progressive-stage advance (re-jit at the new image size, reference
+train.py:221-233).
+
+Data backends:
+- ``records``  — packed .rec/.idx files (preprocess.py), host decode/crop
+  threads + jitted on-device augmentation (data/pipeline.py)
+- ``synthetic`` — fake batches for smoke tests and benchmarks
+- ``auto``      — records when ``<dataset_path>/train.rec`` exists, else
+  synthetic
 """
 
 from __future__ import annotations
 
+import os
 import time
-from typing import Any, Optional
+from types import SimpleNamespace
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config.schema import ImageNetConfig
+from ..data.factory import stage_settings
 from ..parallel import mesh as meshlib
 from ..utils.logging import get_logger, is_primary
 from . import engine
@@ -49,24 +60,77 @@ def _compute_dtype(conf: ImageNetConfig):
     return jnp.float32
 
 
-def _make_loaders(conf: ImageNetConfig, image_size: int, valid_size: int):
-    """Return (train_iter_factory, valid_iter_factory, epoch_len)."""
-    batch = conf.training.dataloader.batch_size
+def _resolve_backend(conf: ImageNetConfig) -> str:
+    if conf.data_backend != "auto":
+        return conf.data_backend
+    if os.path.exists(os.path.join(conf.dataset_path, "train.rec")):
+        return "records"
+    return "synthetic"
+
+
+def _make_stage_loaders(conf: ImageNetConfig, settings) -> Tuple[Callable, Callable, int]:
+    """(train_iter(epoch), valid_iter(), epoch_len) for one progressive stage."""
+    training = conf.training
+    batch = training.dataloader.batch_size
     n_class = getattr(conf.arch, "n_class", 1000)
-    if conf.data_backend in ("synthetic", "auto"):
+    backend = _resolve_backend(conf)
+
+    if backend == "synthetic":
         from ..data.synthetic import SyntheticDataset
 
         n_train = max(batch * 4, 64)
-        train_ds = SyntheticDataset(n_train, image_size, n_class, seed=conf.seed,
-                                    normalized=True)
-        valid_ds = SyntheticDataset(batch * 2, valid_size, n_class, seed=conf.seed + 1,
-                                    normalized=True)
+        train_ds = SyntheticDataset(n_train, settings.train_size, n_class,
+                                    seed=conf.seed, normalized=True)
+        valid_ds = SyntheticDataset(batch * 2, settings.valid_size, n_class,
+                                    seed=conf.seed + 1, normalized=True)
         epoch_len = max(n_train // batch, 1)
         return (
             lambda epoch: train_ds.batches(batch, seed=epoch),
             lambda: valid_ds.batches(batch),
             epoch_len,
         )
+
+    if backend == "records":
+        from ..data.pipeline import HostLoader, make_device_augment, make_valid_prep
+        from ..data.records import RecordDataset
+
+        train_ds = RecordDataset(os.path.join(conf.dataset_path, "train"))
+        valid_name = "valid" if os.path.exists(
+            os.path.join(conf.dataset_path, "valid.rec")) else "val"
+        valid_ds = RecordDataset(os.path.join(conf.dataset_path, valid_name))
+
+        workers = training.dataloader.num_workers
+        train_loader = HostLoader(train_ds, batch, settings.train_size, train=True,
+                                  num_workers=workers, seed=conf.seed)
+        valid_loader = HostLoader(valid_ds, batch, settings.valid_size, train=False,
+                                  num_workers=workers, drop_last=False)
+
+        augment = make_device_augment(
+            settings.train_size,
+            randaug_layer=settings.randaug_layer,
+            randaug_magnitude=settings.randaug_magnitude,
+            randaug_increasing=training.randaug_increasing,
+            randaug_magnitude_std=training.randaug_magnitude_std,
+            randaug_cutout=training.randaug_cutout,
+            erasing=training.erasing,
+            mixup=settings.mixup,
+            cutmix=settings.cutmix,
+            mix_before_aug=training.mix_before_aug,
+        )
+        valid_prep = make_valid_prep()
+        aug_key = jax.random.PRNGKey(conf.seed + 17)
+
+        def train_iter(epoch: int):
+            for i, hb in enumerate(train_loader.epoch(epoch)):
+                key = jax.random.fold_in(jax.random.fold_in(aug_key, epoch), i)
+                yield augment(key, jnp.asarray(hb["image"]), jnp.asarray(hb["label"]))
+
+        def valid_iter():
+            for hb in valid_loader.epoch(0):
+                yield valid_prep(jnp.asarray(hb["image"]), jnp.asarray(hb["label"]))
+
+        return train_iter, valid_iter, max(len(train_loader), 1)
+
     raise ValueError(f"unknown data_backend {conf.data_backend!r}")
 
 
@@ -80,42 +144,54 @@ def train_classification(conf: ImageNetConfig) -> dict:
         f"mesh: {dict(mesh.shape)}; devices: {len(mesh.devices.flat)}; dtype: {dtype.__name__}"
     )
 
-    train_conf = conf.training
-    batch = train_conf.dataloader.batch_size
-    if batch % (n_data * train_conf.grad_accumulation) != 0:
-        raise ValueError(
-            f"batch_size {batch} must be divisible by data-parallel devices "
-            f"({n_data}) x grad_accumulation ({train_conf.grad_accumulation})"
-        )
-    model = conf.arch.make(dtype=dtype)
+    training = conf.training
+    batch = training.dataloader.batch_size
     n_class = getattr(conf.arch, "n_class", 1000)
-
-    train_iter, valid_iter, epoch_len = _make_loaders(
-        conf, train_conf.train_size, train_conf.valid_size
-    )
-
-    schedule = make_schedule(train_conf, epoch_len)
+    prog = training.progressive
+    checker = conf.checker.make()
     rng = jax.random.PRNGKey(conf.seed)
 
+    def check_divisible(grad_accum: int):
+        if batch % (n_data * grad_accum) != 0:
+            raise ValueError(
+                f"batch_size {batch} must be divisible by data-parallel devices "
+                f"({n_data}) x grad_accumulation ({grad_accum})"
+            )
+
+    settings = stage_settings(training, 0)
+    check_divisible(settings.grad_accumulation)
+
     with mesh:
-        init_shape = (2, train_conf.train_size, train_conf.train_size, 3)
+        # --- initial state (params independent of dropout overrides) ---
+        model = conf.arch.make(dtype=dtype, drop_path=settings.drop_path,
+                               dropout=settings.dropout) \
+            if settings.dropout is not None or settings.drop_path is not None \
+            else conf.arch.make(dtype=dtype)
+        init_shape = (2, settings.train_size, settings.train_size, 3)
+        params_shape = jax.eval_shape(
+            lambda: model.init(rng, jnp.zeros(init_shape, jnp.float32))
+        )["params"]
+
+        train_iter, valid_iter, epoch_len = _make_stage_loaders(conf, settings)
+        schedule = make_schedule(training, epoch_len)
+        tx = make_optimizer(training, params_shape, schedule)
+
         state = engine.create_train_state(
-            rng, model, init_shape, tx := _make_tx(conf, model, init_shape, schedule, rng),
-            ema=train_conf.ema, ema_bn=train_conf.ema_bn,
+            rng, model, init_shape, tx, ema=training.ema, ema_bn=training.ema_bn
         )
         state = jax.device_put(state, meshlib.replicated(mesh))
 
-        step_fn = engine.make_train_step(
-            model, tx,
-            grad_accumulation=train_conf.grad_accumulation,
-            label_smoothing=0.1,
-            ema=train_conf.ema,
-            n_class=n_class,
-        )
-        train_step = jax.jit(step_fn, donate_argnums=(0,))
-        eval_step = jax.jit(engine.make_eval_step(model, use_ema=train_conf.ema > 0))
+        def build_step_fns(model, grad_accum):
+            step_fn = engine.make_train_step(
+                model, tx, grad_accumulation=grad_accum,
+                label_smoothing=0.1, ema=training.ema, n_class=n_class,
+            )
+            train_step = jax.jit(step_fn, donate_argnums=(0,))
+            eval_step = jax.jit(engine.make_eval_step(model, use_ema=training.ema > 0))
+            return train_step, eval_step
 
-        checker = conf.checker.make()
+        train_step, eval_step = build_step_fns(model, settings.grad_accumulation)
+
         start_epoch = 0
         if conf.resume:
             from . import checkpoint as ckpt
@@ -124,24 +200,36 @@ def train_classification(conf: ImageNetConfig) -> dict:
             state, start_epoch = restored["state"], int(restored["epoch"]) + 1
             logger.info(f"resumed from {conf.resume} at epoch {start_epoch}")
 
+        current_stage = 0 if prog.step <= 0 else min(
+            start_epoch // prog.step, max(training.epoch // prog.step, 1) - 1)
+        if prog.step > 0 and current_stage > 0:
+            settings = stage_settings(training, current_stage)
+            check_divisible(settings.grad_accumulation)
+            model = conf.arch.make(dtype=dtype, drop_path=settings.drop_path,
+                                   dropout=settings.dropout)
+            train_iter, valid_iter, epoch_len = _make_stage_loaders(conf, settings)
+            train_step, eval_step = build_step_fns(model, settings.grad_accumulation)
+
         final_metrics: dict = {}
-        for epoch in range(start_epoch, train_conf.epoch):
+        for epoch in range(start_epoch, training.epoch):
             # ---- train ----
             t0 = time.perf_counter()
             loss_m, img_count = Meter(), 0
-            for batch in train_iter(epoch):
-                batch = meshlib.shard_batch(mesh, batch)
-                state, metrics = train_step(state, batch, rng)
-                img_count += conf.training.dataloader.batch_size
-                loss_m.update(float(metrics["loss"]))
+            for batch_data in train_iter(epoch):
+                batch_data = meshlib.shard_batch(mesh, batch_data)
+                state, metrics = train_step(state, batch_data, rng)
+                img_count += batch
+                if img_count % (batch * max(conf.log_freq, 1)) == 0:
+                    loss_m.update(float(metrics["loss"]))
+            loss_m.update(float(metrics["loss"]))
             dt = time.perf_counter() - t0
-            lr = float(schedule(state.step - 1))
+            lr = float(schedule(jnp.maximum(state.step - 1, 0)))
 
-            # ---- valid (reference train.py:192-198: EMA model when enabled) ----
+            # ---- valid (EMA model when enabled; reference train.py:192-198) ----
             sums = {"loss": 0.0, "prec1": 0.0, "prec5": 0.0, "n": 0.0}
-            for batch in valid_iter():
-                batch = meshlib.shard_batch(mesh, batch)
-                out = eval_step(state, batch)
+            for batch_data in valid_iter():
+                batch_data = meshlib.shard_batch(mesh, batch_data)
+                out = eval_step(state, batch_data)
                 for k in sums:
                     sums[k] += float(out[k])
             n = max(sums["n"], 1.0)
@@ -161,12 +249,21 @@ def train_classification(conf: ImageNetConfig) -> dict:
                 {"state": jax.device_get(state), "epoch": epoch}, f"epoch-{epoch + 1:03d}"
             )
 
+            # ---- progressive stage advance (reference train.py:221-233) ----
+            if prog.step > 0 and (epoch + 1) % prog.step == 0:
+                next_stage = current_stage + 1
+                if next_stage < max(training.epoch // prog.step, 1):
+                    current_stage = next_stage
+                    settings = stage_settings(training, current_stage)
+                    check_divisible(settings.grad_accumulation)
+                    model = conf.arch.make(dtype=dtype, drop_path=settings.drop_path,
+                                           dropout=settings.dropout)
+                    train_iter, valid_iter, epoch_len = _make_stage_loaders(conf, settings)
+                    train_step, eval_step = build_step_fns(
+                        model, settings.grad_accumulation)
+                    logger.info(
+                        f"progressive: stage {current_stage + 1}, re-jitted at "
+                        f"{settings.train_size}px, grad_accum {settings.grad_accumulation}"
+                    )
+
         return final_metrics
-
-
-def _make_tx(conf, model, init_shape, schedule, rng):
-    """Build the optax pipeline (needs a param tree for the masks)."""
-    params = jax.eval_shape(
-        lambda: model.init(rng, jnp.zeros(init_shape, jnp.float32))
-    )["params"]
-    return make_optimizer(conf.training, params, schedule)
