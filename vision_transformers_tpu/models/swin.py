@@ -127,7 +127,6 @@ class WindowAttention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         scale = 1.0 / math.sqrt(self.dim_head)
-        score = jnp.einsum("bshqd,bshkd->bshqk", q, k) * scale
 
         bias_table = self.param(
             "rel_pos", nn.initializers.zeros,
@@ -135,16 +134,36 @@ class WindowAttention(nn.Module):
         )
         pos_index = relative_position_index(window)  # static
         bias = bias_table[pos_index]  # [w², w², head] — constant-folded gather
-        score = score + bias.transpose(2, 0, 1).astype(score.dtype)[None, None]
+        bias = bias.transpose(2, 0, 1)  # [head, w², w²] f32
 
-        if self.shift:
-            mask = shifted_window_mask((h, w), window)  # static [S, w², w²]
-            score = score + jnp.asarray(mask[None, :, None], score.dtype)
+        from .. import ops as _ops
 
-        attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        n_win = hs * ws
+        w2 = window * window
+        if _ops.fused_attention_enabled() and (deterministic or self.dropout == 0.0):
+            # Pallas fused kernel over groups = (window, head); bias + shift
+            # mask folded into one additive [S·H, w², w²] tensor
+            extra = jnp.broadcast_to(bias[None], (n_win, self.n_head, w2, w2))
+            if self.shift:
+                mask = jnp.asarray(shifted_window_mask((h, w), window))
+                extra = extra + mask[:, None]
+            out = _ops.fused_attention(
+                q.reshape(b, n_win * self.n_head, w2, self.dim_head),
+                k.reshape(b, n_win * self.n_head, w2, self.dim_head),
+                v.reshape(b, n_win * self.n_head, w2, self.dim_head),
+                extra.reshape(n_win * self.n_head, w2, w2), scale,
+            )
+            out = out.reshape(b, n_win, self.n_head, w2, self.dim_head)
+        else:
+            score = jnp.einsum("bshqd,bshkd->bshqk", q, k) * scale
+            score = score + bias.astype(score.dtype)[None, None]
+            if self.shift:
+                mask = shifted_window_mask((h, w), window)  # static [S, w², w²]
+                score = score + jnp.asarray(mask[None, :, None], score.dtype)
+            attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bshqk,bshkd->bshqd", attn, v)
 
-        out = jnp.einsum("bshqk,bshkd->bshqd", attn, v)
         out = out.reshape(b, hs, ws, self.n_head, window, window, self.dim_head)
         out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(b, h, w, inner)
         out = nn.Dense(dim, dtype=self.dtype,

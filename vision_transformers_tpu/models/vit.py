@@ -52,11 +52,20 @@ class MultiHeadedAttention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, d]
 
         scale = 1.0 / math.sqrt(dim_head)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        from .. import ops as _ops
 
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, dim)
+        if _ops.fused_attention_enabled() and (deterministic or self.dropout == 0.0):
+            # Pallas fused kernel: [b, h, n, d] groups = heads
+            out = _ops.fused_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), None, scale,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, dim)
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, dim)
         return nn.Dense(
             dim, dtype=self.dtype, kernel_init=trunc_normal_init(0.02), name="linear"
         )(out)
