@@ -49,13 +49,9 @@ def _pil_open(payload: bytes):
     return img.convert("RGB")
 
 
-def decode_random_resized_crop(payload: bytes, size: int, rng: pyrandom.Random,
-                               scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
-    """torchvision RandomResizedCrop semantics, bicubic (factory.py:170)."""
-    from PIL import Image
-
-    img = _pil_open(payload)
-    w, h = img.size
+def _rrc_box(w: int, h: int, rng: pyrandom.Random,
+             scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """torchvision RandomResizedCrop geometry → (left, top, cw, ch)."""
     area = w * h
     log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
     for _ in range(10):
@@ -64,11 +60,7 @@ def decode_random_resized_crop(payload: bytes, size: int, rng: pyrandom.Random,
         cw = int(round(math.sqrt(target_area * aspect)))
         ch = int(round(math.sqrt(target_area / aspect)))
         if 0 < cw <= w and 0 < ch <= h:
-            left = rng.randint(0, w - cw)
-            top = rng.randint(0, h - ch)
-            crop = img.resize((size, size), Image.BICUBIC,
-                              box=(left, top, left + cw, top + ch))
-            return np.asarray(crop, np.uint8)
+            return rng.randint(0, w - cw), rng.randint(0, h - ch), cw, ch
     # fallback: center crop of clamped aspect (torchvision behavior)
     in_ratio = w / h
     if in_ratio < ratio[0]:
@@ -77,25 +69,72 @@ def decode_random_resized_crop(payload: bytes, size: int, rng: pyrandom.Random,
         cw, ch = int(round(h * ratio[1])), h
     else:
         cw, ch = w, h
-    left, top = (w - cw) // 2, (h - ch) // 2
+    return (w - cw) // 2, (h - ch) // 2, cw, ch
+
+
+def decode_random_resized_crop(payload: bytes, size: int, rng: pyrandom.Random,
+                               scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """torchvision RandomResizedCrop semantics, bicubic (factory.py:170).
+
+    Uses the native (C++) decode+resample path when built — pixel-exact vs
+    the PIL fallback (see data/native.py)."""
+    from . import native
+
+    if native.available():
+        dims = native.jpeg_dims(payload)
+        if dims is not None:
+            w, h = dims
+            left, top, cw, ch = _rrc_box(w, h, rng, scale, ratio)
+            out = native.decode_crop_resize(payload, (left, top, cw, ch),
+                                            (size, size), native.BICUBIC)
+            if out is not None:
+                return out
+
+    from PIL import Image
+
+    img = _pil_open(payload)
+    w, h = img.size
+    left, top, cw, ch = _rrc_box(w, h, rng, scale, ratio)
     crop = img.resize((size, size), Image.BICUBIC,
                       box=(left, top, left + cw, top + ch))
     return np.asarray(crop, np.uint8)
 
 
-def decode_valid(payload: bytes, size: int):
-    """Resize(size+32, bicubic) + CenterCrop(size) (factory.py:217-224)."""
-    from PIL import Image
-
-    img = _pil_open(payload)
-    w, h = img.size
+def _valid_geometry(w: int, h: int, size: int):
+    """Resize(size+32) shorter side + CenterCrop(size) geometry."""
     target = size + 32
     if w <= h:
         nw, nh = target, max(1, int(round(h * target / w)))
     else:
         nw, nh = max(1, int(round(w * target / h))), target
-    img = img.resize((nw, nh), Image.BICUBIC)
     left, top = (nw - size) // 2, (nh - size) // 2
+    return nw, nh, left, top
+
+
+def decode_valid(payload: bytes, size: int):
+    """Resize(size+32, bicubic) + CenterCrop(size) (factory.py:217-224).
+
+    The two-stage PIL path (resize whole image, then crop) is reproduced
+    exactly; the native path resizes the whole image the same way, then
+    crops the resized array."""
+    from . import native
+
+    if native.available():
+        dims = native.jpeg_dims(payload)
+        if dims is not None:
+            w, h = dims
+            nw, nh, left, top = _valid_geometry(w, h, size)
+            resized = native.decode_crop_resize(payload, (0, 0, w, h), (nh, nw),
+                                                native.BICUBIC)
+            if resized is not None:
+                return resized[top:top + size, left:left + size]
+
+    from PIL import Image
+
+    img = _pil_open(payload)
+    w, h = img.size
+    nw, nh, left, top = _valid_geometry(w, h, size)
+    img = img.resize((nw, nh), Image.BICUBIC)
     img = img.crop((left, top, left + size, top + size))
     return np.asarray(img, np.uint8)
 

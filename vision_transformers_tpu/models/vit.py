@@ -48,20 +48,18 @@ class MultiHeadedAttention(nn.Module):
             dim * 3, use_bias=self.use_bias, dtype=self.dtype,
             kernel_init=trunc_normal_init(0.02), name="qkv",
         )(x)
-        qkv = qkv.reshape(b, n, 3, self.n_head, dim_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, d]
-
         scale = 1.0 / math.sqrt(dim_head)
         from .. import ops as _ops
 
         if _ops.fused_attention_enabled() and (deterministic or self.dropout == 0.0):
             # Pallas fused kernel: [b, h, n, d] groups = heads
-            out = _ops.fused_attention(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), None, scale,
-            )
+            qkv = qkv.reshape(b, n, 3, self.n_head, dim_head).transpose(0, 2, 3, 1, 4)
+            q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # [b, h, n, d]
+            out = _ops.fused_attention(q, k, v, None, scale)
             out = out.transpose(0, 2, 1, 3).reshape(b, n, dim)
         else:
+            qkv = qkv.reshape(b, n, 3, self.n_head, dim_head)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, d]
             attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
             attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)

@@ -1,30 +1,29 @@
 """Fused short-sequence attention — the Pallas TPU kernel for vision models.
 
 Vision-transformer attention is short-sequence (ViT-S/16 @224: 197 tokens;
-Swin windows: 49; PVT stage 1: 3136 q × 49 kv) — the whole per-(batch, head)
-problem fits in VMEM.  So unlike long-context flash attention there is no
-online softmax: the kernel computes
+Swin windows: 49; PVT stage 1 kv: 49) — the whole per-(batch, head) problem
+fits in VMEM.  Unlike long-context flash attention there is no online
+softmax: the kernel computes
 
     out = softmax(q·kᵀ·scale + extra) · v
 
 entirely on-chip — one HBM read of q/k/v, one write of out.  The XLA einsum
 path materializes the [.., M, N] score tensor in HBM twice (f32 scores +
-probabilities); for ViT-S that is the single largest non-parameter traffic
-in the step.  ``extra`` is an optional additive [G, M, N] term that carries
-Swin's relative-position bias + shift mask, Halo's halo bias, or padding
-masks — all folded into one tensor by the caller.
+probabilities); fusing removes that traffic.  ``extra`` is an optional
+additive [G, M, N] term carrying Swin's relative-position bias + shift mask,
+Halo's bias, or padding masks — folded into one tensor by the caller.
 
-Layout: q [B, G, M, D], k/v [B, G, N, D] where G = heads (× windows).  The
-grid is (B, G/chunk); each step processes ``chunk`` groups with 2D MXU dots
-(M,N padded to the 128-lane / dtype-sublane tile, D padded to 128).
+Layout: q [B, G, M, D], k/v [B, G, N, D], G = heads (× windows).  The grid
+chunks both B and G so each step runs a few dozen MXU dots back to back;
+operands stay at their *logical* shapes — Mosaic's internal tiling handles
+the non-128 tails without explicit HBM padding copies.
 
-The backward pass is a second kernel (recompute scores in VMEM, emit
-dq/dk/dv/dextra) wired through ``jax.custom_vjp``; dextra accumulates across
-the batch grid dimension — TPU grids execute sequentially, so revisiting the
-same output block is a legal accumulation pattern.
+Backward is a second kernel (recompute scores in VMEM, emit dq/dk/dv/dextra)
+wired through ``jax.custom_vjp``; dextra accumulates across the sequential
+B grid dimension (revisiting an output block across grid steps is the
+standard TPU accumulation pattern).
 
-Caller-facing entry points pad/unpad automatically.  ``interpret=True`` runs
-the same kernel on CPU for tests.
+``interpret=True`` runs the same kernels on CPU for tests.
 """
 
 from __future__ import annotations
@@ -40,134 +39,101 @@ from jax.experimental import pallas as pl
 __all__ = ["fused_attention"]
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+def _fwd_kernel(q_ref, k_ref, v_ref, extra_ref, o_ref, *, scale, bc, gc, has_extra):
+    for j in range(bc):
+        for i in range(gc):
+            q = q_ref[j, i]                      # [M, D]
+            k = k_ref[j, i]                      # [N, D]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),  # q·kᵀ
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if has_extra:
+                s = s + extra_ref[i].astype(jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            p = (p / l).astype(v_ref.dtype)
+            o_ref[j, i] = jax.lax.dot_general(
+                p, v_ref[j, i], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
 
-
-def _pad_to(x, shape):
-    pads = [(0, t - s) for s, t in zip(x.shape, shape)]
-    if all(p == (0, 0) for p in pads):
-        return x
-    return jnp.pad(x, pads)
-
-
-NEG_INF = -1e9
-
-
-# ---------------------------------------------------------------------------
-# forward kernel
-# ---------------------------------------------------------------------------
-
-def _fwd_kernel(q_ref, k_ref, v_ref, extra_ref, o_ref, *, scale, chunk):
-    for i in range(chunk):
-        q = q_ref[0, i]                      # [Mp, Dp]
-        k = k_ref[0, i]                      # [Np, Dp]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),  # q·kᵀ
-            preferred_element_type=jnp.float32,
-        ) * scale
-        s = s + extra_ref[i].astype(jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        p = (p / l).astype(v_ref.dtype)
-        o_ref[0, i] = jax.lax.dot_general(
-            p, v_ref[0, i], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
-
-
-# ---------------------------------------------------------------------------
-# backward kernel
-# ---------------------------------------------------------------------------
 
 def _bwd_kernel(q_ref, k_ref, v_ref, extra_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, dextra_ref, *, scale, chunk):
+                dq_ref, dk_ref, dv_ref, dextra_ref, *, scale, bc, gc, has_extra):
     b = pl.program_id(0)
-    for i in range(chunk):
-        q = q_ref[0, i]
-        k = k_ref[0, i]
-        v = v_ref[0, i]
-        do = do_ref[0, i].astype(jnp.float32)
+    for j in range(bc):
+        for i in range(gc):
+            q = q_ref[j, i]
+            k = k_ref[j, i]
+            v = v_ref[j, i]
+            do = do_ref[j, i].astype(jnp.float32)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        s = s + extra_ref[i].astype(jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        p = p / l                                           # [Mp, Np] f32
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            if has_extra:
+                s = s + extra_ref[i].astype(jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)   # [M, N] f32
 
-        # dv = pᵀ · do
-        dv_ref[0, i] = jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dv_ref.dtype)
+            # dv = pᵀ · do
+            dv_ref[j, i] = jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
 
-        # dp = do · vᵀ ; ds = p ⊙ (dp − rowsum(dp ⊙ p))
-        dp = jax.lax.dot_general(
-            do, v.astype(do.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [Mp, Np] f32
+            # dp = do · vᵀ ; ds = p ⊙ (dp − rowsum(dp ⊙ p))
+            dp = jax.lax.dot_general(
+                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [M, N] f32
 
-        @pl.when(b == 0)
-        def _init():
-            dextra_ref[i] = jnp.zeros_like(dextra_ref[i])
+            if has_extra:
+                @pl.when((b == 0) & (j == 0))
+                def _init():
+                    dextra_ref[i] = jnp.zeros_like(dextra_ref[i])
 
-        dextra_ref[i] += ds.astype(dextra_ref.dtype)
+                dextra_ref[i] += ds
 
-        dsc = (ds * scale).astype(q.dtype)
-        dq_ref[0, i] = jax.lax.dot_general(
-            dsc, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dq_ref.dtype)
-        dk_ref[0, i] = jax.lax.dot_general(
-            dsc, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dk_ref.dtype)
-
-
-# ---------------------------------------------------------------------------
-# host-side wrapper
-# ---------------------------------------------------------------------------
-
-def _tile_m(dtype) -> int:
-    return 16 if dtype == jnp.bfloat16 else 8
+            dsc = ds * scale
+            dq_ref[j, i] = jax.lax.dot_general(
+                dsc, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dq_ref.dtype)
+            dk_ref[j, i] = jax.lax.dot_general(
+                dsc, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dk_ref.dtype)
 
 
-def _padded_dims(M, N, D, dtype):
-    mp = _round_up(M, max(_tile_m(dtype), 8))
-    np_ = _round_up(N, 128)
-    dp = _round_up(D, 128)
-    return mp, np_, dp
+def _pick_chunks(B: int, G: int, M: int, N: int, D: int, itemsize: int):
+    """Chunk (B, G) so ~16-32 groups run per grid step within a VMEM budget."""
+
+    def divisor_at_most(n, cap):
+        best = 1
+        for c in range(1, n + 1):
+            if n % c == 0 and c <= cap:
+                best = c
+        return best
+
+    budget = 6 * 1024 * 1024
+    gc = divisor_at_most(G, 8)
+    per_group = (2 * (M + N) * D * itemsize + M * D * itemsize  # q,k,v,out
+                 + M * N * 4)                                   # extra (+scratch)
+    cap = max(1, budget // max(per_group * gc, 1))
+    bc = divisor_at_most(B, min(cap, max(32 // gc, 1)))
+    return bc, gc
 
 
-def _prep(q, k, v, extra):
-    """Pad operands; fold the kv padding mask into extra (f32 [G, Mp, Np])."""
-    B, G, M, D = q.shape
-    N = k.shape[2]
-    mp, np_, dp = _padded_dims(M, N, D, q.dtype)
-
-    qp = _pad_to(q, (B, G, mp, dp))
-    kp = _pad_to(k, (B, G, np_, dp))
-    vp = _pad_to(v, (B, G, np_, dp))
-
+def _broadcast_extra(extra, G, M, N):
     if extra is None:
-        extra_b = jnp.zeros((G, mp, np_), jnp.float32)
-    else:
-        extra_b = jnp.broadcast_to(extra.astype(jnp.float32), (G, M, N))
-        extra_b = _pad_to(extra_b, (G, mp, np_))
-    if np_ != N:
-        col = jnp.arange(np_) >= N
-        extra_b = jnp.where(col[None, None, :], NEG_INF, extra_b)
-    return qp, kp, vp, extra_b, (mp, np_, dp)
-
-
-def _pick_chunk(G: int) -> int:
-    for c in (8, 4, 2):
-        if G % c == 0:
-            return c
-    return 1
+        return jnp.zeros((1, 1, 1), jnp.float32), 0
+    e = jnp.broadcast_to(extra.astype(jnp.float32), (G, M, N))
+    return e, 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -176,7 +142,7 @@ def fused_attention(q, k, v, extra=None, scale: Optional[float] = None,
     """softmax(q·kᵀ·scale + extra)·v, fused in VMEM.
 
     q: [B, G, M, D]; k, v: [B, G, N, D]; extra: broadcastable to [G, M, N]
-    (additive, f32; carries rel-pos bias / shift masks), or None.
+    (additive, f32; rel-pos bias / shift masks), or None.
     Returns [B, G, M, D] in q.dtype.
     """
     out, _ = _fwd(q, k, v, extra, scale, interpret)
@@ -185,25 +151,32 @@ def fused_attention(q, k, v, extra=None, scale: Optional[float] = None,
 
 def _fwd(q, k, v, extra, scale, interpret):
     B, G, M, D = q.shape
+    N = k.shape[2]
     if scale is None:
         scale = 1.0 / math.sqrt(D)
-    qp, kp, vp, extra_b, (mp, np_, dp) = _prep(q, k, v, extra)
-    chunk = _pick_chunk(G)
+    extra_b, has_extra = _broadcast_extra(extra, G, M, N)
+    eg, em, en = extra_b.shape
+    bc, gc = _pick_chunks(B, G, M, N, D, q.dtype.itemsize)
+    if has_extra:
+        extra_spec = pl.BlockSpec((gc, em, en), lambda b, c: (c, 0, 0))
+    else:
+        extra_spec = pl.BlockSpec((1, 1, 1), lambda b, c: (0, 0, 0))
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, chunk=chunk),
-        grid=(B, G // chunk),
+        functools.partial(_fwd_kernel, scale=scale, bc=bc, gc=gc,
+                          has_extra=bool(has_extra)),
+        grid=(B // bc, G // gc),
         in_specs=[
-            pl.BlockSpec((1, chunk, mp, dp), lambda b, c: (b, c, 0, 0)),
-            pl.BlockSpec((1, chunk, np_, dp), lambda b, c: (b, c, 0, 0)),
-            pl.BlockSpec((1, chunk, np_, dp), lambda b, c: (b, c, 0, 0)),
-            pl.BlockSpec((chunk, mp, np_), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((bc, gc, M, D), lambda b, c: (b, c, 0, 0)),
+            pl.BlockSpec((bc, gc, N, D), lambda b, c: (b, c, 0, 0)),
+            pl.BlockSpec((bc, gc, N, D), lambda b, c: (b, c, 0, 0)),
+            extra_spec,
         ],
-        out_specs=pl.BlockSpec((1, chunk, mp, dp), lambda b, c: (b, c, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, G, mp, dp), q.dtype),
+        out_specs=pl.BlockSpec((bc, gc, M, D), lambda b, c: (b, c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, G, M, D), q.dtype),
         interpret=interpret,
-    )(qp, kp, vp, extra_b)
-    return out[:, :, :M, :D], (q, k, v, extra)
+    )(q, k, v, extra_b)
+    return out, (q, k, v, extra)
 
 
 def _bwd(scale, interpret, res, do):
@@ -212,43 +185,45 @@ def _bwd(scale, interpret, res, do):
     N = k.shape[2]
     if scale is None:
         scale = 1.0 / math.sqrt(D)
-    qp, kp, vp, extra_b, (mp, np_, dp) = _prep(q, k, v, extra)
-    dop = _pad_to(do.astype(q.dtype), (B, G, mp, dp))
-    chunk = _pick_chunk(G)
+    extra_b, has_extra = _broadcast_extra(extra, G, M, N)
+    eg, em, en = extra_b.shape
+    bc, gc = _pick_chunks(B, G, M, N, D, q.dtype.itemsize)
+    if has_extra:
+        extra_spec = pl.BlockSpec((gc, em, en), lambda b, c: (c, 0, 0))
+    else:
+        extra_spec = pl.BlockSpec((1, 1, 1), lambda b, c: (0, 0, 0))
 
     dq, dk, dv, dextra = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, chunk=chunk),
-        grid=(B, G // chunk),
+        functools.partial(_bwd_kernel, scale=scale, bc=bc, gc=gc,
+                          has_extra=bool(has_extra)),
+        grid=(B // bc, G // gc),
         in_specs=[
-            pl.BlockSpec((1, chunk, mp, dp), lambda b, c: (b, c, 0, 0)),
-            pl.BlockSpec((1, chunk, np_, dp), lambda b, c: (b, c, 0, 0)),
-            pl.BlockSpec((1, chunk, np_, dp), lambda b, c: (b, c, 0, 0)),
-            pl.BlockSpec((chunk, mp, np_), lambda b, c: (c, 0, 0)),
-            pl.BlockSpec((1, chunk, mp, dp), lambda b, c: (b, c, 0, 0)),
+            pl.BlockSpec((bc, gc, M, D), lambda b, c: (b, c, 0, 0)),
+            pl.BlockSpec((bc, gc, N, D), lambda b, c: (b, c, 0, 0)),
+            pl.BlockSpec((bc, gc, N, D), lambda b, c: (b, c, 0, 0)),
+            extra_spec,
+            pl.BlockSpec((bc, gc, M, D), lambda b, c: (b, c, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, chunk, mp, dp), lambda b, c: (b, c, 0, 0)),
-            pl.BlockSpec((1, chunk, np_, dp), lambda b, c: (b, c, 0, 0)),
-            pl.BlockSpec((1, chunk, np_, dp), lambda b, c: (b, c, 0, 0)),
-            pl.BlockSpec((chunk, mp, np_), lambda b, c: (c, 0, 0)),
+            pl.BlockSpec((bc, gc, M, D), lambda b, c: (b, c, 0, 0)),
+            pl.BlockSpec((bc, gc, N, D), lambda b, c: (b, c, 0, 0)),
+            pl.BlockSpec((bc, gc, N, D), lambda b, c: (b, c, 0, 0)),
+            pl.BlockSpec((gc, M, N), lambda b, c: (c, 0, 0)) if has_extra
+            else pl.BlockSpec((1, 1, 1), lambda b, c: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, G, mp, dp), q.dtype),
-            jax.ShapeDtypeStruct((B, G, np_, dp), k.dtype),
-            jax.ShapeDtypeStruct((B, G, np_, dp), v.dtype),
-            jax.ShapeDtypeStruct((G, mp, np_), jnp.float32),
+            jax.ShapeDtypeStruct((B, G, M, D), q.dtype),
+            jax.ShapeDtypeStruct((B, G, N, D), k.dtype),
+            jax.ShapeDtypeStruct((B, G, N, D), v.dtype),
+            jax.ShapeDtypeStruct((G, M, N) if has_extra else (1, 1, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp, extra_b, dop)
-
-    dq = dq[:, :, :M, :D]
-    dk = dk[:, :, :N, :D]
-    dv = dv[:, :, :N, :D]
+    )(q, k, v, extra_b, do.astype(q.dtype))
 
     if extra is None:
         dextra_out = None
     else:
-        d = dextra[:, :M, :N]
+        d = dextra
         # un-broadcast to the caller's extra shape
         if extra.ndim == 2:
             d = d.sum(0)
