@@ -295,3 +295,23 @@ def random_solarize(key, images, threshold=0.5, p=0.2):
     sol = jnp.where(images < threshold, images, 1.0 - images)
     take = jax.random.bernoulli(key, p, (images.shape[0],))
     return jnp.where(take[:, None, None, None], sol, images)
+
+
+# AlexNet-style PCA lighting constants (reference transforms.py:17-22)
+IMAGENET_EIGVAL = (0.2175, 0.0188, 0.0045)
+IMAGENET_EIGVEC = (
+    (-0.5675, 0.7192, 0.4009),
+    (-0.5808, -0.0045, -0.8140),
+    (-0.5836, -0.6948, 0.4203),
+)
+
+
+def lighting(key, images, alpha_std: float,
+             eigval=IMAGENET_EIGVAL, eigvec=IMAGENET_EIGVEC):
+    """PCA color jitter (reference transforms.py:68-88): per-sample normal
+    alphas along the RGB eigenbasis, added to the (tensor-scale) image."""
+    b = images.shape[0]
+    alpha = jax.random.normal(key, (b, 3)) * alpha_std
+    ev = jnp.asarray(eigvec, jnp.float32) * jnp.asarray(eigval, jnp.float32)[None, :]
+    rgb = alpha @ ev.T  # [b, 3]
+    return images + rgb[:, None, None, :]
