@@ -4,8 +4,13 @@
 the Pallas fused kernel (ops/fused_attention.py) or the XLA einsum path:
 
 - env ``VTX_FUSED_ATTENTION=1|0`` forces it on/off
-- otherwise: on for TPU backends, off elsewhere (the einsum path is faster
-  than interpret-mode Pallas on CPU, and keeps CPU CI fast)
+- default: OFF — measurement-driven (see PERF.md).  The kernel beats the
+  einsum path in isolation on v5e (ViT shapes: 1.1 ms vs 2.5 ms fwd,
+  2.1 ms vs 3.7 ms grad per layer-batch), but inside the full jitted train
+  step XLA's fusion of the einsum chain with the surrounding projections
+  still wins (ViT-S 2128 vs 1846 img/s; Swin-S 686 vs 534 img/s).  The
+  integration gap is the forced [b, h, n, d] materialization around the
+  custom call — round-2 work.
 """
 
 from __future__ import annotations
@@ -39,9 +44,4 @@ def fused_attention_enabled() -> bool:
     env = os.environ.get("VTX_FUSED_ATTENTION")
     if env is not None:
         return env not in ("0", "false", "off")
-    try:
-        import jax
-
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    return False

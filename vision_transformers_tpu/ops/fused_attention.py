@@ -36,82 +36,112 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+try:  # pallas TPU compiler params (absent on pure-CPU builds)
+    from jax.experimental.pallas import tpu as pltpu
+
+    _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+except Exception:  # pragma: no cover
+    _COMPILER_PARAMS = None
+
+
+def _cp(interpret):
+    return None if interpret else _COMPILER_PARAMS
+
+
 __all__ = ["fused_attention"]
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, extra_ref, o_ref, *, scale, bc, gc, has_extra):
-    for j in range(bc):
-        for i in range(gc):
-            q = q_ref[j, i]                      # [M, D]
-            k = k_ref[j, i]                      # [N, D]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),  # q·kᵀ
-                preferred_element_type=jnp.float32,
-            ) * scale
-            if has_extra:
-                s = s + extra_ref[i].astype(jnp.float32)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            p = (p / l).astype(v_ref.dtype)
-            o_ref[j, i] = jax.lax.dot_general(
-                p, v_ref[j, i], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(o_ref.dtype)
+    def body(idx, _):
+        j, i = idx // gc, idx % gc
+        q = q_ref[j, i]                      # [M, D]
+        k = k_ref[j, i]                      # [N, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),  # q·kᵀ
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if has_extra:
+            s = s + extra_ref[i].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(v_ref.dtype)
+        o_ref[j, i] = jax.lax.dot_general(
+            p, v_ref[j, i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+        return _
+
+    # fori_loop (not Python unroll): Mosaic reuses one iteration's stack
+    jax.lax.fori_loop(0, bc * gc, body, 0)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, extra_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dextra_ref, *, scale, bc, gc, has_extra):
     b = pl.program_id(0)
-    for j in range(bc):
-        for i in range(gc):
-            q = q_ref[j, i]
-            k = k_ref[j, i]
-            v = v_ref[j, i]
-            do = do_ref[j, i].astype(jnp.float32)
 
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
-            if has_extra:
-                s = s + extra_ref[i].astype(jnp.float32)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)   # [M, N] f32
+    def body(idx, _):
+        j, i = idx // gc, idx % gc
+        q = q_ref[j, i]
+        k = k_ref[j, i]
+        v = v_ref[j, i]
+        do = do_ref[j, i].astype(jnp.float32)
 
-            # dv = pᵀ · do
-            dv_ref[j, i] = jax.lax.dot_general(
-                p, do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(dv_ref.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if has_extra:
+            s = s + extra_ref[i].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)   # [M, N] f32
 
-            # dp = do · vᵀ ; ds = p ⊙ (dp − rowsum(dp ⊙ p))
-            dp = jax.lax.dot_general(
-                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [M, N] f32
+        # dv = pᵀ · do
+        dv_ref[j, i] = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
 
-            if has_extra:
-                @pl.when((b == 0) & (j == 0))
-                def _init():
-                    dextra_ref[i] = jnp.zeros_like(dextra_ref[i])
+        # dp = do · vᵀ ; ds = p ⊙ (dp − rowsum(dp ⊙ p))
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [M, N] f32
 
-                dextra_ref[i] += ds
+        if has_extra:
+            @pl.when((b == 0) & (j == 0))
+            def _init():
+                dextra_ref[i] = jnp.zeros_like(dextra_ref[i])
 
-            dsc = ds * scale
-            dq_ref[j, i] = jax.lax.dot_general(
-                dsc, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(dq_ref.dtype)
-            dk_ref[j, i] = jax.lax.dot_general(
-                dsc, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(dk_ref.dtype)
+            dextra_ref[i] += ds
+
+        dsc = ds * scale
+        dq_ref[j, i] = jax.lax.dot_general(
+            dsc, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+        dk_ref[j, i] = jax.lax.dot_general(
+            dsc, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, bc * gc, body, 0)
 
 
-def _pick_chunks(B: int, G: int, M: int, N: int, D: int, itemsize: int):
-    """Chunk (B, G) so ~16-32 groups run per grid step within a VMEM budget."""
+import os as _os
+
+
+def _pick_chunks(B: int, G: int, M: int, N: int, D: int, itemsize: int,
+                 bwd: bool = False, has_extra: bool = False):
+    """Chunk (B, G) so each grid step runs enough dots to amortize step
+    overhead, within a VMEM budget (blocks double-buffered by Mosaic)."""
+
+    env = _os.environ.get("VTX_FA_CHUNKS")
+    if env:
+        bc, gc = (int(x) for x in env.split(","))
+        return bc, gc
 
     def divisor_at_most(n, cap):
         best = 1
@@ -120,12 +150,17 @@ def _pick_chunks(B: int, G: int, M: int, N: int, D: int, itemsize: int):
                 best = c
         return best
 
-    budget = 6 * 1024 * 1024
+    budget = 9 * 1024 * 1024  # measured sweet spot on v5e (see bench logs)
     gc = divisor_at_most(G, 8)
-    per_group = (2 * (M + N) * D * itemsize + M * D * itemsize  # q,k,v,out
-                 + M * N * 4)                                   # extra (+scratch)
-    cap = max(1, budget // max(per_group * gc, 1))
-    bc = divisor_at_most(B, min(cap, max(32 // gc, 1)))
+    if bwd:
+        # resident per (b, g): q, do, dq [M,D] + k, v, dk, dv [N,D]
+        per_group = (3 * M + 4 * N) * D * itemsize
+    else:
+        # resident per (b, g): q, out [M,D] + k, v [N,D]
+        per_group = 2 * (M + N) * D * itemsize
+    extra_bytes = (gc * M * N * 4) * (2 if bwd else 1) if has_extra else 0
+    cap = max(1, (budget - extra_bytes - M * N * 4) // max(per_group * gc, 1))
+    bc = divisor_at_most(B, min(cap, max(64 // gc, 1)))
     return bc, gc
 
 
@@ -156,7 +191,8 @@ def _fwd(q, k, v, extra, scale, interpret):
         scale = 1.0 / math.sqrt(D)
     extra_b, has_extra = _broadcast_extra(extra, G, M, N)
     eg, em, en = extra_b.shape
-    bc, gc = _pick_chunks(B, G, M, N, D, q.dtype.itemsize)
+    bc, gc = _pick_chunks(B, G, M, N, D, q.dtype.itemsize, bwd=False,
+                          has_extra=bool(has_extra))
     if has_extra:
         extra_spec = pl.BlockSpec((gc, em, en), lambda b, c: (c, 0, 0))
     else:
@@ -175,6 +211,7 @@ def _fwd(q, k, v, extra, scale, interpret):
         out_specs=pl.BlockSpec((bc, gc, M, D), lambda b, c: (b, c, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, G, M, D), q.dtype),
         interpret=interpret,
+        compiler_params=_cp(interpret),
     )(q, k, v, extra_b)
     return out, (q, k, v, extra)
 
@@ -187,7 +224,8 @@ def _bwd(scale, interpret, res, do):
         scale = 1.0 / math.sqrt(D)
     extra_b, has_extra = _broadcast_extra(extra, G, M, N)
     eg, em, en = extra_b.shape
-    bc, gc = _pick_chunks(B, G, M, N, D, q.dtype.itemsize)
+    bc, gc = _pick_chunks(B, G, M, N, D, q.dtype.itemsize, bwd=True,
+                          has_extra=bool(has_extra))
     if has_extra:
         extra_spec = pl.BlockSpec((gc, em, en), lambda b, c: (c, 0, 0))
     else:
@@ -218,6 +256,7 @@ def _bwd(scale, interpret, res, do):
             jax.ShapeDtypeStruct((G, M, N) if has_extra else (1, 1, 1), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_cp(interpret),
     )(q, k, v, extra_b, do.astype(q.dtype))
 
     if extra is None:
