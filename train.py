@@ -25,6 +25,12 @@ from vision_transformers_tpu.train.trainer import train_classification
 
 
 def main() -> None:
+    # multi-host: the reference forked one process per GPU (dist.launch,
+    # reference train.py:394-396); the JAX runtime is one process per host,
+    # coordinated via jax.distributed when the standard env is present.
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
     conf = vtx.load_arg_config()
     if conf.n_device == 0:
         conf.n_device = len(jax.devices())

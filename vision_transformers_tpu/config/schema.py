@@ -155,6 +155,7 @@ class ImageNetConfig(_Base):
     seed: int = 0
     data_backend: str = "auto"  # auto | records | synthetic
     resume: Optional[str] = None  # checkpoint dir to restore (superset of reference)
+    profile_dir: Optional[str] = None  # write a jax.profiler trace of early steps
 
     @field_validator("arch", mode="before")
     @classmethod

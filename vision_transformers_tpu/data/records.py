@@ -17,7 +17,7 @@ Layout:
 from __future__ import annotations
 
 import os
-from typing import Iterable, Optional, Sequence, Tuple
+from typing import Any, Iterable, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -49,12 +49,20 @@ class RecordWriter:
 
 class RecordDataset:
     """mmap-backed reader (lazy-open per process, like the reference's
-    lazy LMDB env, dataset.py:33-49)."""
+    lazy LMDB env, dataset.py:33-49).
 
-    def __init__(self, path: str):
+    ``reader`` mirrors the reference ``LMDBReader`` payload decodings
+    (dataset.py:50-125): ``raw`` (bytes, default — images stay undecoded),
+    ``str`` (utf-8), ``pickle``, ``npy`` (numpy array; the torch-tensor
+    reader of the reference maps to arrays here)."""
+
+    def __init__(self, path: str, reader: str = "raw"):
         self.path = path
         if not os.path.exists(path + ".rec"):
             raise FileNotFoundError(f"{path}.rec not found")
+        if reader not in ("raw", "str", "pickle", "npy"):
+            raise ValueError(f"unknown reader {reader!r}")
+        self.reader = reader
         self._offsets = np.load(path + ".idx", allow_pickle=False)
         self._data: Optional[np.memmap] = None
 
@@ -66,11 +74,24 @@ class RecordDataset:
     def __len__(self) -> int:
         return len(self._offsets) - 1
 
-    def get(self, index: int) -> Tuple[int, bytes]:
+    def _decode(self, payload: bytes):
+        if self.reader == "raw":
+            return payload
+        if self.reader == "str":
+            return payload.decode("utf-8")
+        if self.reader == "pickle":
+            import pickle
+
+            return pickle.loads(payload)
+        import io
+
+        return np.load(io.BytesIO(payload), allow_pickle=False)
+
+    def get(self, index: int) -> Tuple[int, Any]:
         data = self._ensure_open()
         lo, hi = int(self._offsets[index]), int(self._offsets[index + 1])
         raw = bytes(data[lo:hi])
-        return int(raw[:4]), raw[4:]
+        return int(raw[:4]), self._decode(raw[4:])
 
 
 def pack_image_folder(root: str, out_path: str, verbose: bool = True) -> int:

@@ -213,14 +213,27 @@ def train_classification(conf: ImageNetConfig) -> dict:
         final_metrics: dict = {}
         for epoch in range(start_epoch, training.epoch):
             # ---- train ----
+            # per-step wall/data meters (reference train.py:251-252,264,271)
             t0 = time.perf_counter()
-            loss_m, img_count = Meter(), 0
+            loss_m, data_m, img_count = Meter(), Meter(), 0
+            profiling = bool(conf.profile_dir) and epoch == start_epoch
+            if profiling:
+                jax.profiler.start_trace(conf.profile_dir)
+            t_fetch = time.perf_counter()
             for batch_data in train_iter(epoch):
+                data_m.update(time.perf_counter() - t_fetch)
                 batch_data = meshlib.shard_batch(mesh, batch_data)
                 state, metrics = train_step(state, batch_data, rng)
                 img_count += batch
                 if img_count % (batch * max(conf.log_freq, 1)) == 0:
                     loss_m.update(float(metrics["loss"]))
+                if profiling and img_count >= batch * 8:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info(f"profiler trace written to {conf.profile_dir}")
+                t_fetch = time.perf_counter()
+            if profiling:
+                jax.profiler.stop_trace()
             loss_m.update(float(metrics["loss"]))
             dt = time.perf_counter() - t0
             lr = float(schedule(jnp.maximum(state.step - 1, 0)))
@@ -241,6 +254,7 @@ def train_classification(conf: ImageNetConfig) -> dict:
                 "prec5": sums["prec5"] / n,
                 "lr": lr,
                 "images_per_sec": img_count / dt,
+                "data_time": data_m.avg,
             }
             if is_primary():
                 checker.log(step=epoch, **final_metrics)
