@@ -181,10 +181,10 @@ class HaloTransformer(nn.Module):
                 )(out, deterministic)
 
         # widened final head (reference :214-223)
-        out = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="final_norm")(out)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(out)
         out = nn.Dense(self.dims[-1] * 2, dtype=self.dtype,
                        kernel_init=trunc_normal_init(0.02), name="final_linear")(out)
-        out = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="final_norm2")(out)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm2")(out)
         out = jax.nn.silu(out)
         out = jnp.mean(out, axis=(1, 2))
         return nn.Dense(self.n_class, dtype=jnp.float32,

@@ -72,11 +72,31 @@ def _window_coords(input_size: Tuple[int, int], window: int, shift: bool):
     return part(yy), part(xx)
 
 
-def relative_position_index(window: int) -> np.ndarray:
-    """[w², w²] index into the (2w-1)² bias table (reference: :42-47,98-101)."""
-    y, x = _window_coords((window, window), window, shift=False)
-    dy = y[0][:, None] - y[0][None, :]
-    dx = x[0][:, None] - x[0][None, :]
+def relative_position_index(window: int,
+                            input_size: Optional[Tuple[int, int]] = None,
+                            shift: bool = False) -> np.ndarray:
+    """[w², w²] index into the (2w-1)² bias table (reference: :42-47,98-101).
+
+    Reference conventions (verified against its ``pos`` buffer in
+    tests/test_torch_parity.py):
+    - diffs are ``key − query``
+    - the index comes from window 0 of the (rolled, when shifted) grid.  For
+      grids larger than the window this equals the standard index, but when
+      the grid EQUALS the window (e.g. the last Swin stage: 7×7 tokens,
+      window 7) the cyclic shift wraps inside window 0 and changes the
+      indices — reproduced here
+    - in the shifted case, non-local pair diffs are zeroed before indexing
+      (their scores are −inf-masked anyway)
+    """
+    if input_size is None:
+        input_size = (window, window)
+    y, x = _window_coords(input_size, window, shift)
+    dy = y[0][None, :] - y[0][:, None]
+    dx = x[0][None, :] - x[0][:, None]
+    if shift:
+        local = (np.abs(dy) < window) & (np.abs(dx) < window)
+        dy = dy * local
+        dx = dx * local
     return (dy + window - 1) * (2 * window - 1) + (dx + window - 1)
 
 
@@ -132,7 +152,7 @@ class WindowAttention(nn.Module):
             "rel_pos", nn.initializers.zeros,
             ((2 * window - 1) ** 2, self.n_head), jnp.float32,
         )
-        pos_index = relative_position_index(window)  # static
+        pos_index = relative_position_index(window, (h, w), self.shift)  # static
         bias = bias_table[pos_index]  # [w², w², head] — constant-folded gather
         bias = bias.transpose(2, 0, 1)  # [head, w², w²] f32
 
@@ -220,7 +240,9 @@ class PatchEmbedding(nn.Module):
         out = patchify(x, self.window_size)
         out = nn.Dense(self.out_dim, dtype=self.dtype,
                        kernel_init=trunc_normal_init(0.02), name="linear")(out)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+        # torch-default eps (reference PatchEmbedding uses bare nn.LayerNorm,
+        # swin_transformer.py:206 — not the 1e-6 lambda)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(out)
 
 
 class PatchMerge(nn.Module):
@@ -233,7 +255,7 @@ class PatchMerge(nn.Module):
     @nn.compact
     def __call__(self, x):
         out = patchify(x, self.window_size)
-        out = nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(out)
         return nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
                         kernel_init=trunc_normal_init(0.02), name="linear")(out)
 
@@ -281,7 +303,8 @@ class SwinTransformer(nn.Module):
                 )(out, deterministic)
                 i_layer += 1
 
-        out = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="final_norm")(out)
+        # reference final norm is a bare nn.LayerNorm (eps 1e-5), :276
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(out)
         out = jnp.mean(out, axis=(1, 2))  # adaptive avg pool (reference :277-281)
         return nn.Dense(self.n_class, dtype=jnp.float32,
                         kernel_init=trunc_normal_init(0.02), name="classifier")(

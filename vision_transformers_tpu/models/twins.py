@@ -206,7 +206,7 @@ class TwinsSVT(nn.Module):
                         dtype=self.dtype, name=f"peg{stage + 1}"
                     )(out)
 
-        out = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="final_norm")(out)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_norm")(out)
         out = jnp.mean(out, axis=(1, 2))
         return nn.Dense(self.n_class, dtype=jnp.float32,
                         kernel_init=trunc_normal_init(0.02), name="classifier")(

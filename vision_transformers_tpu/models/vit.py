@@ -95,8 +95,10 @@ class TransformerLayer(nn.Module):
         x = x + dp(h)
 
         h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_ff")(x)
+        # reference FF activation defaults to SiLU (layer.py:186-196; the
+        # TransformerLayer doesn't override it, models/vit.py:55)
         h = FeedForward(
-            dim=self.dim_ff, activation=lambda y: jax.nn.gelu(y, approximate=False),
+            dim=self.dim_ff, activation=jax.nn.silu,
             dropout=self.drop_ff, dtype=self.dtype, name="ff",
         )(h, deterministic)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
