@@ -105,11 +105,19 @@ class GlobalSubsampledAttention(nn.Module):
                            kernel_init=trunc_normal_init(0.02), name="linear_q")(x))
 
         if self.reduction > 1:
+            # Faithful to a reference quirk (models/twins.py:68-72): the NHWC
+            # map goes through ``transpose(1,2).reshape(b, dim, h, w)`` — a
+            # buffer REINTERPRETATION, not a layout permute (that expression
+            # is correct for PVT's [b, n, dim] sequence input but scrambles
+            # Twins' 4D input).  The reference trains through it; reproduced
+            # bit-for-bit for weight-level parity (tests/test_torch_parity.py).
+            scrambled = x.transpose(0, 2, 1, 3).reshape(b, dim, h, w)
             red = nn.Conv(dim, (self.reduction, self.reduction),
                           strides=(self.reduction, self.reduction), padding="VALID",
                           dtype=self.dtype, kernel_init=trunc_normal_init(0.02),
-                          name="reduce_conv")(x)
-            kv_in = red.reshape(b, -1, dim)
+                          name="reduce_conv")(scrambled.transpose(0, 2, 3, 1))
+            # reference continues: conv_out.reshape(b, dim, -1).transpose(1, 2)
+            kv_in = red.transpose(0, 3, 1, 2).reshape(b, dim, -1).transpose(0, 2, 1)
         else:
             kv_in = x.reshape(b, -1, dim)
 
