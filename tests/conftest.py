@@ -20,6 +20,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: repeat suite runs skip the XLA compiles that
+# dominate wall time
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 assert len(jax.devices()) == 8, (
     f"expected 8 forced CPU devices, got {jax.devices()}"
 )
