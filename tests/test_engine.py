@@ -125,3 +125,33 @@ def test_overfit_tiny(tiny_model):
         state, m = step(state, batch, jax.random.PRNGKey(0))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.5, losses[::6]
+
+
+def test_ema_bn_eval_uses_ema_stats():
+    """EMA + BN interplay (SURVEY §7 hard part): with ema_bn the eval step
+    reads EMA batch_stats, which track the training stats."""
+    cfg = registry.build("model", {"type": "efficientnetv2", "width": 0.25,
+                                   "depth": 0.25, "n_class": 5})
+    model = cfg.make()
+    tx = optax.sgd(0.1)
+    state = engine.create_train_state(jax.random.PRNGKey(0), model,
+                                      (2, 32, 32, 3), tx, ema=0.9, ema_bn=True)
+    assert state.ema_batch_stats is not None
+    batch = {
+        "image": jnp.asarray(np.random.default_rng(0).normal(
+            size=(4, 32, 32, 3)).astype(np.float32)),
+        "label1": jnp.zeros(4, jnp.int32),
+        "label2": jnp.zeros(4, jnp.int32),
+        "ratio": jnp.ones(4, jnp.float32),
+    }
+    step = engine.make_train_step(model, tx, ema=0.9)
+    s1, _ = step(state, batch, jax.random.PRNGKey(1))
+    # ema stats copied from the updated training stats (reference
+    # train_util.py:78-84 copies BN buffers outright)
+    for a, b in zip(jax.tree.leaves(s1.ema_batch_stats),
+                    jax.tree.leaves(s1.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # eval step runs with the EMA stats
+    ev = engine.make_eval_step(model, use_ema=True)
+    out = ev(s1, batch)
+    assert np.isfinite(float(out["loss"]))

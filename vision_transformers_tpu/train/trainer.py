@@ -259,9 +259,15 @@ def train_classification(conf: ImageNetConfig) -> dict:
             if is_primary():
                 checker.log(step=epoch, **final_metrics)
 
-            checker.checkpoint(
-                {"state": jax.device_get(state), "epoch": epoch}, f"epoch-{epoch + 1:03d}"
-            )
+            try:
+                checker.checkpoint(
+                    {"state": jax.device_get(state), "epoch": epoch},
+                    f"epoch-{epoch + 1:03d}",
+                )
+            except KeyboardInterrupt:
+                raise
+            except Exception as e:  # reference also survives ckpt failure
+                logger.info(f"checkpoint failed at epoch {epoch}: {e!r}")
 
             # ---- progressive stage advance (reference train.py:221-233) ----
             if prog.step > 0 and (epoch + 1) % prog.step == 0:
