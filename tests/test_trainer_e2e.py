@@ -1,0 +1,61 @@
+"""End-to-end trainer tests on the synthetic backend (8-device CPU mesh)."""
+
+import numpy as np
+import pytest
+
+from vision_transformers_tpu.config.schema import load_config
+
+
+def _conf(tmp_path, **overrides):
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "configs", "vit-s-16.conf")
+    base = [
+        "training.epoch=2", "training.dataloader.batch_size=16",
+        "data_backend=synthetic", "arch.depth=1", "arch.dim=32",
+        "arch.n_head=2", "arch.dim_ff=64", "arch.image_size=16",
+        "arch.window_size=8", "arch.n_class=5", "training.train_size=16",
+        "training.valid_size=16", "dataset_path=/nonexistent",
+        "precision=f32", "training.scheduler.warmup=0",
+        f"checker.storage=[{{type: local, path: {tmp_path}/ck}}]",
+    ]
+    base += [f"{k}={v}" for k, v in overrides.items()]
+    return load_config(path, overrides=base)
+
+
+def test_train_classification_e2e(tmp_path):
+    from vision_transformers_tpu.train.trainer import train_classification
+
+    conf = _conf(tmp_path)
+    metrics = train_classification(conf)
+    assert metrics["epoch"] == 1
+    assert np.isfinite(metrics["loss"])
+    assert (tmp_path / "ck" / "epoch-002").exists()
+
+
+def test_resume_continues_epochs(tmp_path):
+    from vision_transformers_tpu.train.trainer import train_classification
+
+    conf = _conf(tmp_path)
+    train_classification(conf)
+
+    conf2 = _conf(tmp_path, **{"training.epoch": 3,
+                               "resume": f"{tmp_path}/ck/epoch-002"})
+    metrics = train_classification(conf2)
+    assert metrics["epoch"] == 2  # resumed at epoch 2, ran one more
+    assert (tmp_path / "ck" / "epoch-003").exists()
+
+
+def test_progressive_stage_advance(tmp_path):
+    from vision_transformers_tpu.train.trainer import train_classification
+
+    conf = _conf(tmp_path, **{
+        "training.epoch": 2,
+        "training.progressive.step": 1,
+        "training.progressive.train_sizes": "[16, 32]",
+        "training.progressive.valid_sizes": "[16, 32]",
+        "training.progressive.grad_accumulation": "[1, 2]",
+    })
+    metrics = train_classification(conf)
+    assert metrics["epoch"] == 1
+    assert np.isfinite(metrics["loss"])
