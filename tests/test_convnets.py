@@ -73,6 +73,35 @@ def test_effnet_depth_scaling():
     assert len(blocks) == 2 * 16
 
 
+def test_effnet_presets_conf_addressable():
+    """B1-B7 presets build from the conf (reference efficientnet_b1..b7,
+    models/efficientnet.py:287-312) with paper dropout/resolution defaults."""
+    from vision_transformers_tpu.models.efficientnet import EFFICIENTNET_PRESETS
+
+    preset = registry.build("model", {"type": "efficientnet", "preset": "b2",
+                                      "n_class": 10})
+    explicit = registry.build("model", {"type": "efficientnet", "width": 1.1,
+                                        "depth": 1.2, "dropout": 0.3,
+                                        "n_class": 10})
+    m_p, m_e = preset.make(), explicit.make()
+    assert m_p.width == m_e.width == 1.1
+    assert m_p.depth == m_e.depth == 1.2
+    assert m_p.dropout == 0.3  # paper default for b2
+    assert preset.default_size == 260
+    # identical architecture → identical block expansion
+    assert m_p.expand_blocks() == m_e.expand_blocks()
+    # explicit keys override the preset
+    over = registry.build("model", {"type": "efficientnet", "preset": "b2",
+                                    "dropout": 0.1, "width": 2.0, "n_class": 10})
+    m_o = over.make()
+    assert m_o.width == 2.0 and m_o.depth == 1.2 and m_o.dropout == 0.1
+    # every preset resolves
+    for name in EFFICIENTNET_PRESETS:
+        registry.build("model", {"type": "efficientnet", "preset": name}).make()
+    with pytest.raises(ValueError):
+        registry.build("model", {"type": "efficientnet", "preset": "b9"}).make()
+
+
 @pytest.fixture(scope="module")
 def tiny_nfnet():
     cfg = registry.build(

@@ -50,6 +50,40 @@ def test_dino_end_to_end_synthetic(tmp_path):
     assert metrics["epoch"] == 1
 
 
+def test_dino_honors_conf_optimizer_and_agc(tmp_path):
+    """The DINO driver must route through the conf optimizer stack
+    (reference train_dino.py:110-132,240-248) — changing optimizer.type or
+    agc must change the training result, not be silently ignored."""
+    from vision_transformers_tpu.train.dino import train_dino
+
+    base = train_dino(_tiny_dino_conf(tmp_path))
+    sgd_conf = _tiny_dino_conf(tmp_path)
+    sgd_conf.training.optimizer = registry.build(
+        "optimizer", {"type": "sgd", "lr": sgd_conf.training.optimizer.lr,
+                      "momentum": 0.9})
+    sgd = train_dino(sgd_conf)
+    assert abs(base["loss"] - sgd["loss"]) > 1e-6, \
+        "optimizer.type=sgd produced the same trajectory as adamw"
+
+    agc_conf = _tiny_dino_conf(tmp_path)
+    agc_conf.training.agc = 1e-4  # aggressive clip so the effect is visible
+    agc = train_dino(agc_conf)
+    assert abs(base["loss"] - agc["loss"]) > 1e-6, \
+        "training.agc was silently ignored"
+
+
+def test_dino_grad_accumulation(tmp_path):
+    """grad_accumulation > 1 scans microbatches inside the step (reference
+    train_dino.py:229-239) and still trains."""
+    from vision_transformers_tpu.train.dino import train_dino
+
+    conf = _tiny_dino_conf(tmp_path)
+    conf.training.grad_accumulation = 2
+    metrics = train_dino(conf)
+    assert np.isfinite(metrics["loss"])
+    assert metrics["epoch"] == 1
+
+
 def test_dino_loss_uniform_teacher_is_maximal_entropy():
     """With a uniform teacher distribution the loss equals log(out_dim) when
     the student is also uniform."""

@@ -146,11 +146,19 @@ def test_ema_bn_eval_uses_ema_stats():
     }
     step = engine.make_train_step(model, tx, ema=0.9)
     s1, _ = step(state, batch, jax.random.PRNGKey(1))
-    # ema stats copied from the updated training stats (reference
-    # train_util.py:78-84 copies BN buffers outright)
-    for a, b in zip(jax.tree.leaves(s1.ema_batch_stats),
-                    jax.tree.leaves(s1.batch_stats)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # ema stats are EMA-lerped toward the updated training stats with the
+    # warmup-aware decay (reference train_util.py:78-84:
+    # buf.mul_(decay).add_(new, alpha=1-decay)); at t=0 decay=min(0.9, 0.1)=0.1
+    decay = 0.1
+    for e0, e1, b in zip(jax.tree.leaves(state.ema_batch_stats),
+                         jax.tree.leaves(s1.ema_batch_stats),
+                         jax.tree.leaves(s1.batch_stats)):
+        expect = np.asarray(e0) * decay + np.asarray(b) * (1 - decay)
+        np.testing.assert_allclose(np.asarray(e1), expect, rtol=1e-5, atol=1e-6)
+        # smoothing, not a copy: where stats moved, ema must lag behind
+        moved = ~np.isclose(np.asarray(e0), np.asarray(b))
+        if moved.any():
+            assert not np.allclose(np.asarray(e1)[moved], np.asarray(b)[moved])
     # eval step runs with the EMA stats
     ev = engine.make_eval_step(model, use_ema=True)
     out = ev(s1, batch)

@@ -10,24 +10,54 @@ from vision_transformers_tpu.train import optim as O
 
 
 def test_unitwise_agc_matches_reference_math():
-    """AGC semantics (reference optimizer.py:12-26): clip where g_norm > max_norm."""
+    """AGC semantics (reference optimizer.py:12-26): clip where g_norm > max_norm.
+
+    The reference norms over ``dim=range(1, ndim)`` on torch (out, in)
+    weights — unit = output neuron.  Flax Dense kernels are (in, out), so the
+    same unit grouping is the transpose: run AGC on the flax layout and
+    compare against the torch computation on the torch layout."""
     rng = np.random.default_rng(1)
-    p = rng.normal(size=(4, 8)).astype(np.float32)
-    g = (rng.normal(size=(4, 8)) * 10).astype(np.float32)
+    p_torch = rng.normal(size=(4, 8)).astype(np.float32)   # (out, in)
+    g_torch = (rng.normal(size=(4, 8)) * 10).astype(np.float32)
     clipping, eps = 0.01, 1e-3
 
     tx = O.adaptive_grad_clip(clipping, eps)
-    state = tx.init({"w": jnp.asarray(p)})
-    out, _ = tx.update({"w": jnp.asarray(g)}, state, {"w": jnp.asarray(p)})
+    p_flax, g_flax = jnp.asarray(p_torch.T), jnp.asarray(g_torch.T)  # (in, out)
+    state = tx.init({"w": p_flax})
+    out, _ = tx.update({"w": g_flax}, state, {"w": p_flax})
 
     # independent torch computation of the published AGC rule
-    tp, tg = torch.tensor(p), torch.tensor(g)
+    tp, tg = torch.tensor(p_torch), torch.tensor(g_torch)
     p_norm = tp.norm(dim=list(range(1, tp.ndim)), keepdim=True)
     g_norm = tg.norm(dim=list(range(1, tg.ndim)), keepdim=True)
     max_norm = p_norm.clamp(min=eps) * clipping
     clipped = tg * (max_norm / g_norm.clamp(min=1e-6))
     expected = torch.where(g_norm < max_norm, tg, clipped)
-    np.testing.assert_allclose(np.asarray(out["w"]), expected.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["w"]), expected.numpy().T, rtol=1e-5)
+
+
+def test_unitwise_agc_conv_hwio_units():
+    """Conv kernels: torch conv weight is (O,I,H,W) with unit=output channel;
+    flax is HWIO — the unit must be the last (O) axis there too."""
+    rng = np.random.default_rng(2)
+    w_torch = rng.normal(size=(6, 3, 3, 3)).astype(np.float32)  # OIHW
+    g_torch = (rng.normal(size=(6, 3, 3, 3)) * 10).astype(np.float32)
+    clipping, eps = 0.02, 1e-3
+
+    w_flax = jnp.asarray(np.transpose(w_torch, (2, 3, 1, 0)))  # HWIO
+    g_flax = jnp.asarray(np.transpose(g_torch, (2, 3, 1, 0)))
+    tx = O.adaptive_grad_clip(clipping, eps)
+    out, _ = tx.update({"w": g_flax}, tx.init({"w": w_flax}), {"w": w_flax})
+
+    tp, tg = torch.tensor(w_torch), torch.tensor(g_torch)
+    dims = list(range(1, tp.ndim))
+    p_norm = tp.square().sum(dim=dims, keepdim=True).sqrt()
+    g_norm = tg.square().sum(dim=dims, keepdim=True).sqrt()
+    max_norm = p_norm.clamp(min=eps) * clipping
+    clipped = tg * (max_norm / g_norm.clamp(min=1e-6))
+    expected = torch.where(g_norm < max_norm, tg, clipped).numpy()
+    np.testing.assert_allclose(
+        np.asarray(out["w"]), np.transpose(expected, (2, 3, 1, 0)), rtol=1e-5)
 
 
 def test_agc_identity_below_threshold():
@@ -62,6 +92,48 @@ def test_agc_mask_excludes_head():
     mask = O.agc_mask(params)
     assert mask["head"]["kernel"] is False
     assert mask["head"]["bias"] is False
+
+
+def test_scheduled_weight_decay_indexes_per_step():
+    """add_scheduled_decayed_weights evaluates wd(count) each optimizer step
+    (the jit-resident form of DINO's per-step param_group override,
+    reference train_dino.py:235-237)."""
+    table = jnp.asarray([0.5, 0.25], jnp.float32)
+    wd_fn = lambda c: table[jnp.minimum(c, 1)]
+    mask = {"w": True, "b": False}
+    tx = O.add_scheduled_decayed_weights(wd_fn, mask)
+    params = {"w": jnp.ones(2), "b": jnp.ones(2)}
+    state = tx.init(params)
+    zero = {"w": jnp.zeros(2), "b": jnp.zeros(2)}
+    out1, state = tx.update(zero, state, params)
+    np.testing.assert_allclose(np.asarray(out1["w"]), 0.5)
+    np.testing.assert_allclose(np.asarray(out1["b"]), 0.0)  # masked out
+    out2, state = tx.update(zero, state, params)
+    np.testing.assert_allclose(np.asarray(out2["w"]), 0.25)
+    assert int(state.count) == 2
+
+
+def test_make_optimizer_accepts_callable_weight_decay():
+    """make_optimizer(weight_decay=callable) builds a working pipeline."""
+
+    class TrainConf:
+        agc = 0.0
+        clip_grad_norm = 1.0
+        weight_decay = 0.05
+        wd_skip = "vit"
+        optimizer = O.AdamW(type="adamw", lr=0.1)
+
+    params = {"dense": {"kernel": jnp.ones((2, 2)), "bias": jnp.zeros(2)}}
+    wd_fn = lambda c: jnp.float32(0.1)
+    tx = O.make_optimizer(TrainConf(), params, lambda c: 0.01, weight_decay=wd_fn)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # kernel update includes wd*p = 0.1 on top of adam's ±1; bias is skipped
+    leaves = jax.tree.leaves(updates)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert not np.allclose(np.asarray(updates["dense"]["kernel"]),
+                           np.asarray(updates["dense"]["bias"])[None, :].repeat(2, 0))
 
 
 def test_rmsprop_tf_first_step_matches_timm_math():

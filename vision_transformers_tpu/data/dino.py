@@ -64,13 +64,21 @@ class DINOHostLoader:
         self.seed = seed
         self.shard_index = jax.process_index() if shard_index is None else shard_index
         self.shard_count = jax.process_count() if shard_count is None else shard_count
+        if batch_size % self.shard_count != 0:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by process count "
+                f"{self.shard_count}")
+        # per-process rows per step (reference factory.py:264); the global
+        # batch is assembled by parallel.mesh.shard_batch
+        self.local_batch = batch_size // self.shard_count
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed + epoch)
         return rng.permutation(len(self.dataset))[self.shard_index::self.shard_count]
 
     def __len__(self) -> int:
-        return len(self._epoch_indices(0)) // self.batch_size
+        # global optimizer steps per epoch, identical on every process
+        return (len(self.dataset) // self.shard_count) // self.local_batch
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
         indices = self._epoch_indices(epoch)
@@ -103,7 +111,7 @@ class DINOHostLoader:
                     for b in range(n_batches):
                         if stop.is_set():
                             break
-                        sel = indices[b * self.batch_size:(b + 1) * self.batch_size]
+                        sel = indices[b * self.local_batch:(b + 1) * self.local_batch]
                         results = list(pool.map(decode_one, sel))
                         globals_ = np.stack(
                             [np.stack([r[0][g] for r in results]) for g in range(2)]

@@ -145,6 +145,12 @@ class HostLoader:
     Equivalent of the reference's DataLoader + DistributedSampler
     (factory.py:263-278): per-epoch deterministic shuffle, per-process shard,
     drop_last, worker threads that decode+crop, a bounded prefetch queue.
+
+    ``batch_size`` is the GLOBAL batch (the conf value).  Each process loads
+    only its ``batch_size / shard_count`` rows from its index shard — the
+    reference's per-rank ``batch // world_size`` split (factory.py:264) —
+    and ``parallel.mesh.shard_batch`` assembles the global array.  ``len``
+    therefore counts global optimizer steps per epoch on every process.
     """
 
     def __init__(
@@ -170,6 +176,12 @@ class HostLoader:
         self.shard_index = jax.process_index() if shard_index is None else shard_index
         self.shard_count = jax.process_count() if shard_count is None else shard_count
         self.drop_last = drop_last
+        if batch_size % self.shard_count != 0:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by process count "
+                f"{self.shard_count}")
+        # per-process rows per step (reference factory.py:264)
+        self.local_batch = batch_size // self.shard_count
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -181,10 +193,12 @@ class HostLoader:
         return order[self.shard_index::self.shard_count]
 
     def __len__(self) -> int:
-        n = len(self._epoch_indices(0))
+        # identical on every process: shards differ by at most one sample,
+        # so floor/ceil over the local batch agrees across processes
+        n = len(self.dataset) // self.shard_count
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return n // self.local_batch
+        return (n + self.local_batch - 1) // self.local_batch
 
     def epoch(self, epoch: int = 0) -> Iterator[dict]:
         indices = self._epoch_indices(epoch)
@@ -211,7 +225,14 @@ class HostLoader:
                     for b in range(n_batches):
                         if stop.is_set():
                             break
-                        sel = indices[b * self.batch_size:(b + 1) * self.batch_size]
+                        sel = indices[b * self.local_batch:(b + 1) * self.local_batch]
+                        if (len(sel) < self.local_batch and not self.drop_last
+                                and self.shard_count > 1):
+                            # multi-process needs equal shapes on every host
+                            # to assemble the global array; wrap-pad like
+                            # torch's DistributedSampler does
+                            pad = self.local_batch - len(sel)
+                            sel = np.concatenate([sel, indices[:pad]])
                         results = list(pool.map(decode_one, sel))
                         images = np.stack([r[0] for r in results])
                         labels = np.asarray([r[1] for r in results], np.int32)

@@ -227,30 +227,63 @@ EFFICIENTNET_V2_S_BLOCKS = (
      "in_channel": 160, "out_channel": 272},
 )
 
-# B1-B7 compound coefficients (reference: :287-312)
+# B1-B7 compound coefficients (reference: :287-312) extended with the
+# published per-preset defaults: (width, depth, dropout, train resolution)
+# — the reference's b1..b7 factories set only width/depth; dropout and
+# resolution follow the EfficientNet paper (Tan & Le 2019, table 1).
 EFFICIENTNET_PRESETS = {
-    "b0": (1.0, 1.0), "b1": (1.0, 1.1), "b2": (1.1, 1.2), "b3": (1.2, 1.4),
-    "b4": (1.4, 1.8), "b5": (1.6, 2.2), "b6": (1.8, 2.6), "b7": (2.0, 3.1),
+    "b0": (1.0, 1.0, 0.2, 224), "b1": (1.0, 1.1, 0.2, 240),
+    "b2": (1.1, 1.2, 0.3, 260), "b3": (1.2, 1.4, 0.3, 300),
+    "b4": (1.4, 1.8, 0.4, 380), "b5": (1.6, 2.2, 0.4, 456),
+    "b6": (1.8, 2.6, 0.5, 528), "b7": (2.0, 3.1, 0.5, 600),
 }
 
 
 @register("model", "efficientnet")
 class EfficientNetConfig(TypedConfig):
-    """(reference factory: models/efficientnet.py:213-284)"""
+    """(reference factory: models/efficientnet.py:213-312)
 
-    width: float = 1.0
-    depth: float = 1.0
+    ``preset: b3`` selects the published compound-scaling coefficients
+    (reference efficientnet_b1..b7, models/efficientnet.py:287-312) plus the
+    paper's dropout default; explicit ``width``/``depth``/``dropout`` keys
+    override the preset."""
+
+    width: Optional[float] = None
+    depth: Optional[float] = None
     n_class: int = 1000
-    dropout: float = 0.0
+    dropout: Optional[float] = None
     drop_path: float = 0.0
+    preset: Optional[str] = None
+
+    def _resolve(self):
+        if self.preset is not None:
+            if self.preset not in EFFICIENTNET_PRESETS:
+                raise ValueError(
+                    f"unknown efficientnet preset {self.preset!r}; "
+                    f"choose from {sorted(EFFICIENTNET_PRESETS)}")
+            w, d, drop, size = EFFICIENTNET_PRESETS[self.preset]
+        else:
+            w, d, drop, size = 1.0, 1.0, 0.0, 224
+        return (
+            w if self.width is None else self.width,
+            d if self.depth is None else self.depth,
+            drop if self.dropout is None else self.dropout,
+            size,
+        )
+
+    @property
+    def default_size(self) -> int:
+        """Published train resolution for the preset (224 otherwise)."""
+        return self._resolve()[3]
 
     def make(self, dtype=jnp.float32, drop_path: Optional[float] = None,
              dropout: Optional[float] = None) -> EfficientNet:
+        width, depth, drop, _ = self._resolve()
         return EfficientNet(
             n_class=self.n_class,
             block_configs=EFFICIENTNET_B0_BLOCKS,
-            width=self.width, divisor=8, depth=self.depth,
-            dropout=self.dropout if dropout is None else dropout,
+            width=width, divisor=8, depth=depth,
+            dropout=drop if dropout is None else dropout,
             drop_path=self.drop_path if drop_path is None else drop_path,
             dtype=dtype,
         )

@@ -61,14 +61,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device_put a host batch pytree with the batch dim sharded over data."""
+    """Assemble a global, data-sharded batch from this process's local rows.
+
+    Single-process: a plain ``device_put`` with the sharded layout.
+    Multi-process: each process holds only its ``global_batch /
+    process_count`` rows (the reference's per-rank ``batch // world_size``
+    split, factory.py:264); ``jax.make_array_from_process_local_data``
+    stitches them into one global jax.Array without any cross-host copy of
+    image data.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch,
+    )
 
 
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     """Per-process batch (reference splits batch // world_size, factory.py:264)."""
     n_data = mesh.shape[DATA_AXIS]
+    n_proc = jax.process_count()
     if global_batch % n_data != 0:
         raise ValueError(f"batch {global_batch} not divisible by data axis {n_data}")
-    return global_batch // jax.process_count()
+    if global_batch % n_proc != 0:
+        raise ValueError(f"batch {global_batch} not divisible by process count {n_proc}")
+    return global_batch // n_proc

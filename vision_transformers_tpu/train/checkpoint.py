@@ -21,16 +21,15 @@ def _checkpointer():
 
 
 def save_checkpoint(path: str, tree: Any) -> str:
-    """Save a pytree (params, opt state, step, ...) to ``path`` (a directory)."""
-    import jax
+    """Save a pytree (params, opt state, step, ...) to ``path`` (a directory).
 
+    Overwrite is delegated to orbax's ``force=True``, which removes an
+    existing checkpoint with proper cross-process synchronization — a bare
+    process-0 rmtree would race other processes entering ``save``.
+    """
     path = os.path.abspath(path)
-    if jax.process_index() == 0 and os.path.exists(path):
-        import shutil
-
-        shutil.rmtree(path)
     ckptr = _checkpointer()
-    ckptr.save(path, tree)
+    ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
     return path
 

@@ -29,7 +29,7 @@ from ..config.schema import ImageNetConfig
 from ..parallel import mesh as meshlib
 from ..utils.logging import get_logger, is_primary
 from . import loss as L
-from .optim import wd_mask
+from .optim import make_optimizer
 from .schedule import cosine_schedule, make_schedule
 from .trainer import Meter
 
@@ -123,14 +123,22 @@ def train_dino(conf: ImageNetConfig) -> dict:
         student_params = variables["params"]
         teacher_params = jax.tree.map(jnp.copy, student_params)  # init from student
 
-        decay_mask = wd_mask(student_params, training.wd_skip)
         last_mask = _last_layer_mask(student_params)
 
-        tx = optax.chain(
-            optax.clip_by_global_norm(training.clip_grad_norm)
-            if training.clip_grad_norm > 0 else optax.identity(),
-            optax.scale_by_adam(),
-        )
+        # Full conf-driven gradient pipeline (reference train_dino.py:110-132,
+        # 240-248): AGC on non-head params when training.agc > 0, global-norm
+        # clip, the registry optimizer (type/betas/eps), decoupled/L2 weight
+        # decay on the wd_skip decay group with the DINO cosine schedule
+        # (0.04 → weight_decay_end) evaluated per optimizer step.
+        wd_table = jnp.asarray(wd_sched, jnp.float32)
+        wd_fn = lambda count: wd_table[jnp.minimum(count, wd_table.shape[0] - 1)]
+        tx = make_optimizer(training, student_params, lr_schedule,
+                            weight_decay=wd_fn)
+
+        grad_accum = training.grad_accumulation
+        if grad_accum > 1 and batch % grad_accum != 0:
+            raise ValueError(
+                f"batch_size {batch} not divisible by grad_accumulation {grad_accum}")
 
         state = DINOTrainState(
             step=jnp.zeros((), jnp.int32),
@@ -141,21 +149,56 @@ def train_dino(conf: ImageNetConfig) -> dict:
         )
         state = jax.device_put(state, meshlib.replicated(mesh))
 
-        def train_step(state, crops, rng, teacher_temp, wd, momentum, freeze):
-            rng = jax.random.fold_in(rng, state.step)
+        def one_microbatch(student_params, teacher_params, center, crops_mb,
+                           teacher_temp, key):
+            """Teacher fwd on the 2 global crops, student grads on all crops,
+            center EMA — the reference's per-loader-batch unit
+            (train_dino.py:224-233; loss.py:144-151)."""
             teacher_out = teacher_model.apply(
-                {"params": state.teacher}, crops[:2], deterministic=True
+                {"params": teacher_params}, [crops_mb[0], crops_mb[1]],
+                deterministic=True,
             ).astype(jnp.float32)
 
             def loss_fn(params):
                 student_out = student_model.apply(
-                    {"params": params}, crops, deterministic=False,
-                    rngs={"dropout": rng},
+                    {"params": params}, list(crops_mb), deterministic=False,
+                    rngs={"dropout": key},
                 )
-                return L.dino_loss(student_out, teacher_out, state.center,
+                return L.dino_loss(student_out, teacher_out, center,
                                    teacher_temp, n_crop)
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.student)
+            loss, grads = jax.value_and_grad(loss_fn)(student_params)
+            new_center = L.update_center(center, teacher_out, momentum=0.9)
+            return loss, grads, new_center
+
+        def train_step(state, crops, rng, teacher_temp, momentum, freeze):
+            rng = jax.random.fold_in(rng, state.step)
+
+            if grad_accum > 1:
+                # scan over microbatches (reference iterates grad_accum loader
+                # batches per optimizer step, train_dino.py:229-239; the
+                # center advances per microbatch exactly as the reference's
+                # per-batch criterion call does)
+                split = lambda x: x.reshape((grad_accum, -1) + x.shape[1:])
+                crops_mb = tuple(split(c) for c in crops)
+
+                def body(carry, mb):
+                    grads_acc, center, i = carry
+                    loss, grads, center = one_microbatch(
+                        state.student, state.teacher, center, mb,
+                        teacher_temp, jax.random.fold_in(rng, i))
+                    return (jax.tree.map(jnp.add, grads_acc, grads),
+                            center, i + 1), loss
+
+                zero = jax.tree.map(jnp.zeros_like, state.student)
+                (grads, new_center, _), losses = jax.lax.scan(
+                    body, (zero, state.center, 0), crops_mb)
+                grads = jax.tree.map(lambda g: g / grad_accum, grads)
+                loss = jnp.mean(losses)
+            else:
+                loss, grads, new_center = one_microbatch(
+                    state.student, state.teacher, state.center, tuple(crops),
+                    teacher_temp, rng)
 
             # cancel last-layer grads during freeze epochs (reference :250)
             grads = jax.tree.map(
@@ -163,14 +206,9 @@ def train_dino(conf: ImageNetConfig) -> dict:
                 grads, last_mask,
             )
 
+            # conf optimizer stack: AGC → clip → optimizer + scheduled wd
+            # (reference train_dino.py:240-253)
             updates, opt_state = tx.update(grads, state.opt_state, state.student)
-            lr = lr_schedule(state.step)
-            # torch-AdamW decoupled weight decay with the scheduled wd:
-            # p ← p − lr·(adam + wd·p) on the decay group (reference :235-237)
-            updates = jax.tree.map(
-                lambda u, p, m: -lr * (u + jnp.where(m, wd, 0.0) * p.astype(u.dtype)),
-                updates, state.student, decay_mask,
-            )
             new_student = optax.apply_updates(state.student, updates)
 
             # teacher EMA (reference :257-261)
@@ -178,7 +216,6 @@ def train_dino(conf: ImageNetConfig) -> dict:
                 lambda t, s: t * momentum + s.astype(t.dtype) * (1.0 - momentum),
                 state.teacher, new_student,
             )
-            new_center = L.update_center(state.center, teacher_out, momentum=0.9)
 
             metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
             return state.replace(
@@ -213,7 +250,6 @@ def train_dino(conf: ImageNetConfig) -> dict:
                 state, metrics = step_jit(
                     state, crops, rng,
                     jnp.float32(temp_sched[epoch]),
-                    jnp.float32(wd_sched[min(it, n_iter - 1)]),
                     jnp.float32(momentum_sched[min(it, n_iter - 1)]),
                     jnp.float32(freeze),
                 )

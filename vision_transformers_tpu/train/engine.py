@@ -169,8 +169,11 @@ def make_train_step(
             lerp = lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay)
             new_ema = jax.tree.map(lerp, state.ema_params, new_params)
             if state.ema_batch_stats is not None:
-                # reference copies BN buffers outright when ema_bn (train_util.py:78-84)
-                new_ema_bn = jax.tree.map(jnp.copy, new_stats)
+                # reference EMA-lerps running_mean/running_var with the same
+                # warmup-aware decay (train_util.py:78-84:
+                # buf1.mul_(decay).add_(buf2, alpha=1-decay)); flax batch_stats
+                # leaves are exactly the mean/var buffers
+                new_ema_bn = jax.tree.map(lerp, state.ema_batch_stats, new_stats)
 
         new_state = state.replace(
             step=state.step + 1,

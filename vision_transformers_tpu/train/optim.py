@@ -31,6 +31,7 @@ __all__ = [
     "RMSpropTF",
     "SGD",
     "adaptive_grad_clip",
+    "add_scheduled_decayed_weights",
     "wd_skip_fn",
     "wd_mask",
     "agc_mask",
@@ -45,19 +46,22 @@ __all__ = [
 def _unitwise_norm(x: jax.Array) -> jax.Array:
     if x.ndim <= 1:
         return jnp.linalg.norm(x)
-    # norm over all axes but the first (output-unit axis), keepdims for broadcast
+    # norm over all axes but the output-unit axis, keepdims for broadcast.
+    # The reference (optimizer.py:4-9) norms over ``dim=range(1, ndim)``
+    # because torch Linear weights are (out, in) and conv (O,I,H,W) — the
+    # unit is an output neuron.  Flax Dense kernels are (in, out) and conv
+    # HWIO, so the output axis is the LAST one here; grouping over the last
+    # axis reproduces the reference's per-output-neuron unit.
     return jnp.sqrt(
-        jnp.sum(jnp.square(x), axis=tuple(range(1, x.ndim)), keepdims=True)
+        jnp.sum(jnp.square(x), axis=tuple(range(x.ndim - 1)), keepdims=True)
     )
 
 
 def adaptive_grad_clip(clipping: float = 0.01, eps: float = 1e-3) -> optax.GradientTransformation:
     """AGC: clip grads whose unit-wise norm exceeds ``clipping *`` param norm.
 
-    Faithful to reference optimizer.py:12-26 (note: torch convention is
-    unit = first axis; flax conv kernels are HWIO so the "unit" there is the
-    leading spatial slice — the masked variant below is applied per-leaf with
-    the same unit convention as the reference's ``.norm(dim=range(1, ndim))``).
+    Faithful to reference optimizer.py:12-26 with the unit convention mapped
+    to flax kernel layouts (see ``_unitwise_norm``).
     """
 
     def init_fn(params):
@@ -138,6 +142,53 @@ def agc_mask(params):
 
 
 # ---------------------------------------------------------------------------
+# Weight decay: static or per-step scheduled (DINO's cosine wd,
+# reference train_dino.py:135-139,235-237)
+# ---------------------------------------------------------------------------
+
+class ScheduledWDState(NamedTuple):
+    count: jax.Array
+
+
+def add_scheduled_decayed_weights(
+    wd_fn: Callable[[jax.Array], jax.Array], mask
+) -> optax.GradientTransformation:
+    """Like ``optax.add_decayed_weights`` but the decay is ``wd_fn(count)``
+    evaluated at each optimizer step — the TPU-native form of the reference's
+    per-step ``param_group["weight_decay"] = wd_schedule[step]`` override
+    (train_dino.py:235-237): the whole schedule stays inside the jitted step
+    instead of a host write per batch."""
+
+    def init_fn(params):
+        del params
+        return ScheduledWDState(count=jnp.zeros((), jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("add_scheduled_decayed_weights requires params")
+        wd = wd_fn(state.count)
+
+        def leaf(u, p, m):
+            return u + wd * p.astype(u.dtype) if m else u
+
+        if mask is not None:
+            updates = jax.tree.map(leaf, updates, params, mask)
+        else:
+            updates = jax.tree.map(lambda u, p: u + wd * p.astype(u.dtype),
+                                   updates, params)
+        return updates, ScheduledWDState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _wd_transform(weight_decay, mask) -> optax.GradientTransformation:
+    """Static float → add_decayed_weights; callable(count) → scheduled."""
+    if callable(weight_decay):
+        return add_scheduled_decayed_weights(weight_decay, mask)
+    return optax.add_decayed_weights(weight_decay, mask=mask)
+
+
+# ---------------------------------------------------------------------------
 # TF-style RMSprop (timm's RMSpropTF; reference config uses type rmsprop_tf)
 # ---------------------------------------------------------------------------
 
@@ -178,7 +229,7 @@ class AdamW(TypedConfig):
     def make(self, learning_rate, weight_decay: float, mask) -> optax.GradientTransformation:
         return optax.chain(
             optax.scale_by_adam(b1=self.betas[0], b2=self.betas[1], eps=self.eps),
-            optax.add_decayed_weights(weight_decay, mask=mask),
+            _wd_transform(weight_decay, mask),
             _scale_by_learning_rate(learning_rate),
         )
 
@@ -212,7 +263,7 @@ class RMSpropTF(TypedConfig):
             return mom, RMSpropTFState(nu=nu, momentum=mom)
 
         return optax.chain(
-            optax.add_decayed_weights(weight_decay, mask=mask),  # L2 into grad
+            _wd_transform(weight_decay, mask),  # L2 into grad
             optax.GradientTransformation(init_fn, update_fn),
             _scale_by_learning_rate(learning_rate),
         )
@@ -227,7 +278,7 @@ class SGD(TypedConfig):
 
     def make(self, learning_rate, weight_decay: float, mask) -> optax.GradientTransformation:
         return optax.chain(
-            optax.add_decayed_weights(weight_decay, mask=mask),
+            _wd_transform(weight_decay, mask),
             optax.trace(decay=self.momentum, nesterov=self.nesterov),
             _scale_by_learning_rate(learning_rate),
         )
@@ -243,7 +294,7 @@ class LAMB(TypedConfig):
     def make(self, learning_rate, weight_decay: float, mask) -> optax.GradientTransformation:
         return optax.chain(
             optax.scale_by_adam(b1=self.betas[0], b2=self.betas[1], eps=self.eps),
-            optax.add_decayed_weights(weight_decay, mask=mask),
+            _wd_transform(weight_decay, mask),
             optax.scale_by_trust_ratio(),
             _scale_by_learning_rate(learning_rate),
         )
@@ -265,6 +316,10 @@ def make_optimizer(
     params (train.py:289-291) → global grad-norm clip (train.py:293-294) →
     optimizer step with decoupled/L2 weight decay on the decay group
     (train_util.py:87-111, factory.py:25-39).
+
+    ``weight_decay`` may be a float or a ``callable(count) -> scalar`` — the
+    latter reproduces DINO's per-step cosine weight-decay override
+    (reference train_dino.py:135-139,235-237) inside the jitted step.
     """
     chain = []
     if train_conf.agc > 0:

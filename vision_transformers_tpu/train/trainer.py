@@ -215,7 +215,11 @@ def train_classification(conf: ImageNetConfig) -> dict:
             # ---- train ----
             # per-step wall/data meters (reference train.py:251-252,264,271)
             t0 = time.perf_counter()
-            loss_m, data_m, img_count = Meter(), Meter(), 0
+            data_m, img_count, n_steps = Meter(), 0, 0
+            # epoch loss accumulates ON-DEVICE (lazy adds, no per-step host
+            # sync); one float() fetch at epoch end gives the true epoch mean
+            # the reference Meter reports (reference train.py:277-281)
+            loss_sum = None
             profiling = bool(conf.profile_dir) and epoch == start_epoch
             if profiling:
                 jax.profiler.start_trace(conf.profile_dir)
@@ -224,9 +228,10 @@ def train_classification(conf: ImageNetConfig) -> dict:
                 data_m.update(time.perf_counter() - t_fetch)
                 batch_data = meshlib.shard_batch(mesh, batch_data)
                 state, metrics = train_step(state, batch_data, rng)
+                loss_sum = metrics["loss"] if loss_sum is None \
+                    else loss_sum + metrics["loss"]
                 img_count += batch
-                if img_count % (batch * max(conf.log_freq, 1)) == 0:
-                    loss_m.update(float(metrics["loss"]))
+                n_steps += 1
                 if profiling and img_count >= batch * 8:
                     jax.profiler.stop_trace()
                     profiling = False
@@ -234,7 +239,9 @@ def train_classification(conf: ImageNetConfig) -> dict:
                 t_fetch = time.perf_counter()
             if profiling:
                 jax.profiler.stop_trace()
-            loss_m.update(float(metrics["loss"]))
+            # guard: a dataset shard smaller than the batch with drop_last
+            # yields an empty epoch — report NaN rather than crash
+            train_loss = float(loss_sum) / n_steps if n_steps else float("nan")
             dt = time.perf_counter() - t0
             lr = float(schedule(jnp.maximum(state.step - 1, 0)))
 
@@ -248,7 +255,7 @@ def train_classification(conf: ImageNetConfig) -> dict:
             n = max(sums["n"], 1.0)
             final_metrics = {
                 "epoch": epoch,
-                "loss": loss_m.avg,
+                "loss": train_loss,
                 "valid_loss": sums["loss"] / n,
                 "prec1": sums["prec1"] / n,
                 "prec5": sums["prec5"] / n,
