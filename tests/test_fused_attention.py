@@ -104,6 +104,65 @@ def test_gradients_match_einsum():
                                    rtol=5e-4, atol=5e-5, err_msg=name)
 
 
+def _qkv_ref(qkv_flat, n_head, extra=None):
+    """einsum reference for the flat [B,N,3·H·D] packed layout."""
+    b, n, c = qkv_flat.shape
+    d = c // (3 * n_head)
+    qkv = qkv_flat.reshape(b, n, 3, n_head, d)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # [b,h,n,d]
+    out = ref_attention(q, k, v, extra).transpose(0, 2, 1, 3)
+    return out.reshape(b, n, n_head * d)
+
+
+def test_qkv_packed_forward_matches_einsum():
+    """Flat packed-layout entry ([B,N,3·H·D] → [B,N,H·D]) vs einsum."""
+    from vision_transformers_tpu.ops.fused_attention import fused_attention_qkv
+
+    b, n, h, d = 2, 33, 4, 16
+    rng = np.random.default_rng(6)
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * h * d)).astype(np.float32))
+    out = fused_attention_qkv(qkv, h, None, None, True)
+    assert out.shape == (b, n, h * d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_qkv_ref(qkv, h)),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_qkv_packed_odd_head_offsets():
+    """dim_head that is not a lane multiple (static misaligned slices)."""
+    from vision_transformers_tpu.ops.fused_attention import fused_attention_qkv
+
+    b, n, h, d = 2, 17, 3, 8   # head offsets 8, 16 — misaligned vs 128 lanes
+    rng = np.random.default_rng(8)
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * h * d)).astype(np.float32))
+    out = fused_attention_qkv(qkv, h, None, None, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_qkv_ref(qkv, h)),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_qkv_packed_with_extra_and_grads():
+    from vision_transformers_tpu.ops.fused_attention import fused_attention_qkv
+
+    b, n, h, d = 2, 21, 2, 8
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * h * d)).astype(np.float32))
+    extra = jnp.asarray(rng.normal(size=(h, n, n)).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.normal(size=(b, n, h * d)).astype(np.float32))
+
+    def loss_fused(qkv, e):
+        return jnp.sum(fused_attention_qkv(qkv, h, e, None, True) * w)
+
+    def loss_ref(qkv, e):
+        return jnp.sum(_qkv_ref(qkv, h, e) * w)
+
+    np.testing.assert_allclose(float(loss_fused(qkv, extra)),
+                               float(loss_ref(qkv, extra)), rtol=2e-4)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(qkv, extra)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, extra)
+    for name, a, b_ in zip(("qkv", "extra"), g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-5, err_msg=name)
+
+
 def test_bf16_runs():
     b, g, m, d = 1, 2, 49, 32
     rng = np.random.default_rng(5)
@@ -144,27 +203,33 @@ def test_vit_fused_path_matches_einsum_path():
 
 
 def test_swin_fused_path_matches_einsum_path():
+    """Covers the window-PAIR packed path (8×8 grid, window 4 → 4 windows,
+    pack=2 with block-diagonal masks) and the unpacked grid==window case
+    (4×4 grid, window 4 → 1 window), both shifts."""
     from vision_transformers_tpu import ops
     from vision_transformers_tpu.models.swin import WindowAttention
 
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
-    for shift in (False, True):
-        attn = WindowAttention(n_head=2, dim_head=8, input_size=(8, 8),
-                               window_size=4, shift=shift)
-        params = attn.init(jax.random.PRNGKey(0), x)
-        # nonzero bias table so the extra path is actually exercised
-        params = jax.tree.map(
-            lambda p: p + 0.1 if p.ndim == 2 and p.shape[-1] == 2 else p, params)
-        try:
-            ops.set_fused_attention(False)
-            ref = attn.apply(params, x)
-            ops.set_fused_attention(True, interpret=True)
-            fused = attn.apply(params, x)
-        finally:
-            ops.set_fused_attention(None)
-        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
-                                   rtol=5e-4, atol=5e-5, err_msg=f"shift={shift}")
+    for hw in (8, 4):
+        x = jnp.asarray(rng.normal(size=(2, hw, hw, 16)).astype(np.float32))
+        for shift in (False, True):
+            attn = WindowAttention(n_head=2, dim_head=8, input_size=(hw, hw),
+                                   window_size=4, shift=shift)
+            params = attn.init(jax.random.PRNGKey(0), x)
+            # nonzero bias table so the extra path is actually exercised
+            params = jax.tree.map(
+                lambda p: p + 0.1 if p.ndim == 2 and p.shape[-1] == 2 else p,
+                params)
+            try:
+                ops.set_fused_attention(False)
+                ref = attn.apply(params, x)
+                ops.set_fused_attention(True, interpret=True)
+                fused = attn.apply(params, x)
+            finally:
+                ops.set_fused_attention(None)
+            np.testing.assert_allclose(
+                np.asarray(fused), np.asarray(ref), rtol=5e-4, atol=5e-5,
+                err_msg=f"hw={hw} shift={shift}")
 
 
 def test_swin_fused_grad_reaches_bias_table():

@@ -23,8 +23,8 @@ def test_unitwise_agc_matches_reference_math():
 
     tx = O.adaptive_grad_clip(clipping, eps)
     p_flax, g_flax = jnp.asarray(p_torch.T), jnp.asarray(g_torch.T)  # (in, out)
-    state = tx.init({"w": p_flax})
-    out, _ = tx.update({"w": g_flax}, state, {"w": p_flax})
+    state = tx.init({"kernel": p_flax})
+    out, _ = tx.update({"kernel": g_flax}, state, {"kernel": p_flax})
 
     # independent torch computation of the published AGC rule
     tp, tg = torch.tensor(p_torch), torch.tensor(g_torch)
@@ -33,7 +33,7 @@ def test_unitwise_agc_matches_reference_math():
     max_norm = p_norm.clamp(min=eps) * clipping
     clipped = tg * (max_norm / g_norm.clamp(min=1e-6))
     expected = torch.where(g_norm < max_norm, tg, clipped)
-    np.testing.assert_allclose(np.asarray(out["w"]), expected.numpy().T, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["kernel"]), expected.numpy().T, rtol=1e-5)
 
 
 def test_unitwise_agc_conv_hwio_units():
@@ -47,7 +47,8 @@ def test_unitwise_agc_conv_hwio_units():
     w_flax = jnp.asarray(np.transpose(w_torch, (2, 3, 1, 0)))  # HWIO
     g_flax = jnp.asarray(np.transpose(g_torch, (2, 3, 1, 0)))
     tx = O.adaptive_grad_clip(clipping, eps)
-    out, _ = tx.update({"w": g_flax}, tx.init({"w": w_flax}), {"w": w_flax})
+    out, _ = tx.update({"kernel": g_flax}, tx.init({"kernel": w_flax}),
+                       {"kernel": w_flax})
 
     tp, tg = torch.tensor(w_torch), torch.tensor(g_torch)
     dims = list(range(1, tp.ndim))
@@ -57,15 +58,38 @@ def test_unitwise_agc_conv_hwio_units():
     clipped = tg * (max_norm / g_norm.clamp(min=1e-6))
     expected = torch.where(g_norm < max_norm, tg, clipped).numpy()
     np.testing.assert_allclose(
-        np.asarray(out["w"]), np.transpose(expected, (2, 3, 1, 0)), rtol=1e-5)
+        np.asarray(out["kernel"]), np.transpose(expected, (2, 3, 1, 0)), rtol=1e-5)
 
 
 def test_agc_identity_below_threshold():
     p = jnp.ones((3, 3))
     g = jnp.full((3, 3), 1e-6)
     tx = O.adaptive_grad_clip(0.01)
-    out, _ = tx.update({"w": g}, tx.init({"w": p}), {"w": p})
-    np.testing.assert_allclose(np.asarray(out["w"]), np.asarray(g))
+    out, _ = tx.update({"kernel": g}, tx.init({"kernel": p}), {"kernel": p})
+    np.testing.assert_allclose(np.asarray(out["kernel"]), np.asarray(g))
+
+
+def test_agc_identical_layout_leaves_use_torch_dim0_unit():
+    """cls_token/pos_embed keep the torch layout, so the reference's dim-0
+    unit applies unchanged (optimizer.py:4-9 on a [1, 1+n, dim] tensor)."""
+    rng = np.random.default_rng(3)
+    p = rng.normal(size=(1, 5, 8)).astype(np.float32)
+    g = (rng.normal(size=(1, 5, 8)) * 10).astype(np.float32)
+    clipping, eps = 0.01, 1e-3
+
+    tx = O.adaptive_grad_clip(clipping, eps)
+    out, _ = tx.update({"pos_embed": jnp.asarray(g)},
+                       tx.init({"pos_embed": jnp.asarray(p)}),
+                       {"pos_embed": jnp.asarray(p)})
+
+    tp, tg = torch.tensor(p), torch.tensor(g)
+    dims = list(range(1, tp.ndim))
+    p_norm = tp.square().sum(dim=dims, keepdim=True).sqrt()
+    g_norm = tg.square().sum(dim=dims, keepdim=True).sqrt()
+    max_norm = p_norm.clamp(min=eps) * clipping
+    clipped = tg * (max_norm / g_norm.clamp(min=1e-6))
+    expected = torch.where(g_norm < max_norm, tg, clipped).numpy()
+    np.testing.assert_allclose(np.asarray(out["pos_embed"]), expected, rtol=1e-5)
 
 
 def test_wd_mask_vit():
@@ -84,14 +108,26 @@ def test_wd_mask_vit():
     assert mask["head"]["bias"] is False
 
 
-def test_agc_mask_excludes_head():
+def test_agc_mask_reference_name_rule():
+    """Reference rule (train.py:260): clipped iff "linear" not in the name."""
     params = {
-        "blocks": {"linear": {"kernel": jnp.ones((4, 4))}},  # attention out proj... clipped? reference
-        "head": {"kernel": jnp.ones((4, 2)), "bias": jnp.ones(2)},
+        "blocks": {
+            "linear": {"kernel": jnp.ones((4, 4))},      # attn out proj
+            "linear_q": {"kernel": jnp.ones((4, 4))},    # PVT q proj
+            "qkv": {"kernel": jnp.ones((4, 12))},
+            "ff": {"fc1": {"kernel": jnp.ones((4, 8))}},
+        },
+        "classifier": {"kernel": jnp.ones((4, 2)), "bias": jnp.ones(2)},
+        "logit": {"kernel": jnp.ones((4, 2))},
     }
     mask = O.agc_mask(params)
-    assert mask["head"]["kernel"] is False
-    assert mask["head"]["bias"] is False
+    assert mask["blocks"]["linear"]["kernel"] is False
+    assert mask["blocks"]["linear_q"]["kernel"] is False
+    assert mask["blocks"]["qkv"]["kernel"] is True
+    assert mask["blocks"]["ff"]["fc1"]["kernel"] is True
+    # swin/effnet classifiers are NOT name-excluded in the reference
+    assert mask["classifier"]["kernel"] is True
+    assert mask["logit"]["kernel"] is True
 
 
 def test_scheduled_weight_decay_indexes_per_step():
@@ -144,14 +180,15 @@ def test_rmsprop_tf_first_step_matches_timm_math():
 
     conf = O.RMSpropTF(type="rmsprop_tf", lr=lr, alpha=alpha, eps=eps, momentum=momentum)
     tx = conf.make(lambda c: lr, weight_decay=0.0, mask=None)
-    params = {"w": jnp.asarray(p)}
+    params = {"kernel": jnp.asarray(p)}
     state = tx.init(params)
-    updates, _ = tx.update({"w": jnp.asarray(g)}, state, params)
+    updates, _ = tx.update({"kernel": jnp.asarray(g)}, state, params)
 
     rms = alpha * 1.0 + (1 - alpha) * g**2  # init at one
     mom = 0.9 * 0.0 + g / np.sqrt(rms + eps)
     expected_update = -lr * mom
-    np.testing.assert_allclose(np.asarray(updates["w"]), expected_update, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(updates["kernel"]), expected_update,
+                               rtol=1e-5)
 
 
 def test_make_optimizer_runs_end_to_end():

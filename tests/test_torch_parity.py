@@ -93,7 +93,7 @@ def test_vit_logits_match_reference():
     }).make()
 
     params = {
-        "patch_embedding": {"proj": conv(sd, "patch_embedding.linear")},
+        "patch_embedding": {"linear": conv(sd, "patch_embedding.linear")},
         "cls_token": t2j(sd["cls_token"]),
         "pos_embed": t2j(sd["pos_embed"]),
         "norm": ln(sd, "norm"),

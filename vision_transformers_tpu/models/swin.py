@@ -160,20 +160,60 @@ class WindowAttention(nn.Module):
 
         n_win = hs * ws
         w2 = window * window
-        if _ops.fused_attention_enabled() and (deterministic or self.dropout == 0.0):
-            # Pallas fused kernel over groups = (window, head); bias + shift
-            # mask folded into one additive [S·H, w², w²] tensor
-            extra = jnp.broadcast_to(bias[None], (n_win, self.n_head, w2, w2))
-            if self.shift:
-                mask = jnp.asarray(shifted_window_mask((h, w), window))
-                extra = extra + mask[:, None]
-            out = _ops.fused_attention(
-                q.reshape(b, n_win * self.n_head, w2, self.dim_head),
-                k.reshape(b, n_win * self.n_head, w2, self.dim_head),
-                v.reshape(b, n_win * self.n_head, w2, self.dim_head),
-                extra.reshape(n_win * self.n_head, w2, w2), scale,
-            )
-            out = out.reshape(b, n_win, self.n_head, w2, self.dim_head)
+        # default False until the Swin A/B on real hardware proves a win
+        # (scripts/bench_swin_ab.py; see PERF.md)
+        if _ops.fused_attention_enabled(b, default=False) and \
+                (deterministic or self.dropout == 0.0):
+            # Pallas fused kernel; bias + shift mask folded into one additive
+            # ``extra`` tensor.  PERF: windows are PACKED IN PAIRS along the
+            # token dim (49 → 98 tokens ≤ 128) with a block-diagonal mask —
+            # a [98,·]·[·,98] MXU pass costs the same as a [49,·]·[·,49] one
+            # (both pad to the 128-lane tile), so packing halves the number
+            # of attention dots for free (reference hot kernel:
+            # models/swin_transformer.py:103-160).
+            pack = 2 if (n_win % 2 == 0 and 2 * w2 <= 128) else 1
+            m_tok = pack * w2
+            if pack > 1:
+                def pack_tokens(t):  # [b, S, head, w², d] → [b, S/2·head, 2w², d]
+                    t = t.reshape(b, n_win // pack, pack, self.n_head, w2,
+                                  self.dim_head)
+                    t = t.transpose(0, 1, 3, 2, 4, 5)
+                    return t.reshape(b, n_win // pack * self.n_head, m_tok,
+                                     self.dim_head)
+
+                qg, kg, vg = pack_tokens(q), pack_tokens(k), pack_tokens(v)
+                neg = jnp.full((self.n_head, w2, w2), -1e9, jnp.float32)
+                pair_bias = jnp.concatenate([
+                    jnp.concatenate([bias, neg], axis=-1),
+                    jnp.concatenate([neg, bias], axis=-1),
+                ], axis=-2)  # [head, 2w², 2w²], off-diagonal blocks masked
+                extra = jnp.broadcast_to(
+                    pair_bias[None], (n_win // pack, self.n_head, m_tok, m_tok))
+                if self.shift:
+                    m = shifted_window_mask((h, w), window)  # np [S, w², w²]
+                    m = m.reshape(n_win // pack, pack, w2, w2)
+                    pm = np.zeros((n_win // pack, m_tok, m_tok), np.float32)
+                    pm[:, :w2, :w2] = m[:, 0]
+                    pm[:, w2:, w2:] = m[:, 1]
+                    extra = extra + jnp.asarray(pm)[:, None]
+                out = _ops.fused_attention(
+                    qg, kg, vg, extra.reshape(-1, m_tok, m_tok), scale)
+                out = out.reshape(b, n_win // pack, self.n_head, pack, w2,
+                                  self.dim_head)
+                out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    b, n_win, self.n_head, w2, self.dim_head)
+            else:
+                extra = jnp.broadcast_to(bias[None], (n_win, self.n_head, w2, w2))
+                if self.shift:
+                    mask = jnp.asarray(shifted_window_mask((h, w), window))
+                    extra = extra + mask[:, None]
+                out = _ops.fused_attention(
+                    q.reshape(b, n_win * self.n_head, w2, self.dim_head),
+                    k.reshape(b, n_win * self.n_head, w2, self.dim_head),
+                    v.reshape(b, n_win * self.n_head, w2, self.dim_head),
+                    extra.reshape(n_win * self.n_head, w2, w2), scale,
+                )
+                out = out.reshape(b, n_win, self.n_head, w2, self.dim_head)
         else:
             score = jnp.einsum("bshqd,bshkd->bshqk", q, k) * scale
             score = score + bias.astype(score.dtype)[None, None]

@@ -51,12 +51,11 @@ class MultiHeadedAttention(nn.Module):
         scale = 1.0 / math.sqrt(dim_head)
         from .. import ops as _ops
 
-        if _ops.fused_attention_enabled() and (deterministic or self.dropout == 0.0):
-            # Pallas fused kernel: [b, h, n, d] groups = heads
-            qkv = qkv.reshape(b, n, 3, self.n_head, dim_head).transpose(0, 2, 3, 1, 4)
-            q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # [b, h, n, d]
-            out = _ops.fused_attention(q, k, v, None, scale)
-            out = out.transpose(0, 2, 1, 3).reshape(b, n, dim)
+        if _ops.fused_attention_enabled(b) and (deterministic or self.dropout == 0.0):
+            # Pallas packed-qkv kernel: reads the projection output [b,n,3hd]
+            # untouched and writes [b,n,hd] — no HBM relayout on either side
+            # of the custom call
+            out = _ops.fused_attention_qkv(qkv, self.n_head, None, scale)
         else:
             qkv = qkv.reshape(b, n, 3, self.n_head, dim_head)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, d]
@@ -121,7 +120,11 @@ class PatchEmbedding(nn.Module):
         p = self.patch_size
         y = nn.Conv(
             self.dim, (p, p), strides=(p, p), padding="VALID", dtype=self.dtype,
-            kernel_init=trunc_normal_init(0.02), name="proj",
+            # named "linear" to mirror the reference attribute
+            # (models/vit.py:71) — AGC's name-based exclusion rule depends
+            # on it (reference train.py:260: params with "linear" in the
+            # name are NOT adaptively clipped)
+            kernel_init=trunc_normal_init(0.02), name="linear",
         )(x)
         b, h, w, c = y.shape
         return y.reshape(b, h * w, c)

@@ -4,13 +4,14 @@
 the Pallas fused kernel (ops/fused_attention.py) or the XLA einsum path:
 
 - env ``VTX_FUSED_ATTENTION=1|0`` forces it on/off
-- default: OFF — measurement-driven (see PERF.md).  The kernel beats the
-  einsum path in isolation on v5e (ViT shapes: 1.1 ms vs 2.5 ms fwd,
-  2.1 ms vs 3.7 ms grad per layer-batch), but inside the full jitted train
-  step XLA's fusion of the einsum chain with the surrounding projections
-  still wins (ViT-S 2128 vs 1846 img/s; Swin-S 686 vs 534 img/s).  The
-  integration gap is the forced [b, h, n, d] materialization around the
-  custom call — round-2 work.
+- default: measurement-driven AUTO (PERF.md round 2).  The round-2
+  ``fused_attention_qkv`` entry reads the qkv projection output in its
+  native [B, N, 3·H·D] layout (no relayout on either side of the custom
+  call) and beats the einsum path in the full ViT-S train step on v5e
+  (3552 vs 2500 img/s/chip at 256/chip; 3558 vs 3519 at 64/chip).  At tiny
+  per-chip batches (<32) the einsum path's activations stay VMEM-resident
+  and still win by ~3%, so AUTO dispatches on the batch size the caller
+  passes.
 """
 
 from __future__ import annotations
@@ -22,6 +23,10 @@ from . import fused_attention as fused_attention_mod  # noqa: F401
 
 _FORCED: Optional[bool] = None
 _INTERPRET: bool = False
+
+# below this per-call batch the einsum path stays VMEM-resident and wins
+# (measured on v5e, PERF.md)
+_AUTO_MIN_BATCH = 32
 
 
 def set_fused_attention(enabled: Optional[bool], interpret: bool = False) -> None:
@@ -38,10 +43,33 @@ def fused_attention(q, k, v, extra=None, scale=None):
     return fused_attention_mod.fused_attention(q, k, v, extra, scale, _INTERPRET)
 
 
-def fused_attention_enabled() -> bool:
+def fused_attention_qkv(qkv, n_head, extra=None, scale=None):
+    """Packed-qkv self-attention ([B,N,3·H·D] → [B,N,H·D]) — the
+    zero-relayout entry used by ViT (see ops/fused_attention.py)."""
+    return fused_attention_mod.fused_attention_qkv(qkv, n_head, extra, scale,
+                                                   _INTERPRET)
+
+
+def fused_attention_enabled(batch: Optional[int] = None,
+                            default: bool = True) -> bool:
+    """Dispatch decision for one attention call site.
+
+    ``batch``: the call's leading batch dim (static at trace time) — AUTO
+    keeps einsum below ``_AUTO_MIN_BATCH``.  ``default``: the call site's
+    measured default when no override is active (ViT: True; sites without a
+    measured win pass False).
+    """
     if _FORCED is not None:
         return _FORCED
     env = os.environ.get("VTX_FUSED_ATTENTION")
     if env is not None:
         return env not in ("0", "false", "off")
-    return False
+    import jax
+
+    if jax.default_backend() != "tpu":
+        # Mosaic kernels only compile for TPU; CPU/GPU take the einsum path
+        # (tests opt into the kernel via set_fused_attention(interpret=True))
+        return False
+    if batch is not None and batch < _AUTO_MIN_BATCH:
+        return False
+    return default

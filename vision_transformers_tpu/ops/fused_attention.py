@@ -48,7 +48,7 @@ def _cp(interpret):
     return None if interpret else _COMPILER_PARAMS
 
 
-__all__ = ["fused_attention"]
+__all__ = ["fused_attention", "fused_attention_qkv"]
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, extra_ref, o_ref, *, scale, bc, gc, has_extra):
@@ -274,3 +274,222 @@ def _bwd(scale, interpret, res, do):
 
 fused_attention.defvjp(lambda q, k, v, extra, scale, interpret:
                        _fwd(q, k, v, extra, scale, interpret), _bwd)
+
+
+
+# ---------------------------------------------------------------------------
+# Packed-qkv self-attention in model-native layout
+# ---------------------------------------------------------------------------
+#
+# The round-1 kernel took q/k/v in [B, G, M, D]; getting there from the fused
+# qkv projection's [B, N, 3·H·D] output costs two HBM relayouts per layer
+# (transpose in, transpose out) that XLA cannot fuse into the custom call —
+# measured to eat the kernel's entire win in-model (PERF.md round-1).  This
+# entry reads the projection output EXACTLY as produced — a flat
+# [B, N, 3·H·D] tensor whose trailing dims (tokens, features) are already the
+# natural (sublane, lane) tiling — and writes [B, N, H·D], the out
+# projection's direct input.  Heads live at static lane offsets h·D inside
+# the feature dim, so the per-head q/k/v slices are static VMEM views
+# (a lane rotate at worst, no HBM traffic).  Zero relayouts end to end.
+#
+# Grid: 1-D over batch chunks; each step runs n_head × bc attention problems
+# back to back (the head loop is Python-unrolled — indices must be static
+# for Mosaic's tiled-memory views; bc iterates via fori_loop).
+
+
+def _qkv_fwd_kernel(qkv_ref, extra_ref, o_ref, *, scale, bc, n_head, dim_head,
+                    has_extra):
+    HD = n_head * dim_head
+
+    def body(j, _):
+        for h in range(n_head):
+            sl = slice(h * dim_head, (h + 1) * dim_head)
+            q = qkv_ref[j, :, sl]                               # [N, D]
+            k = qkv_ref[j, :, slice(HD + sl.start, HD + sl.stop)]
+            v = qkv_ref[j, :, slice(2 * HD + sl.start, 2 * HD + sl.stop)]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if has_extra:
+                s = s + extra_ref[h].astype(jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            p = (p / l).astype(qkv_ref.dtype)
+            o_ref[j, :, sl] = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, bc, body, 0)
+
+
+def _qkv_bwd_kernel(qkv_ref, extra_ref, do_ref, dqkv_ref, dextra_ref, *,
+                    scale, bc, n_head, dim_head, has_extra):
+    HD = n_head * dim_head
+    b = pl.program_id(0)
+
+    def body(j, _):
+        for h in range(n_head):
+            sl = slice(h * dim_head, (h + 1) * dim_head)
+            ksl = slice(HD + sl.start, HD + sl.stop)
+            vsl = slice(2 * HD + sl.start, 2 * HD + sl.stop)
+            q = qkv_ref[j, :, sl]
+            k = qkv_ref[j, :, ksl]
+            v = qkv_ref[j, :, vsl]
+            do = do_ref[j, :, sl].astype(jnp.float32)
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if has_extra:
+                s = s + extra_ref[h].astype(jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)   # [N, N] f32
+
+            dqkv_ref[j, :, vsl] = jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dqkv_ref.dtype)
+
+            dp = jax.lax.dot_general(
+                do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+            if has_extra:
+                @pl.when((b == 0) & (j == 0))
+                def _init():
+                    dextra_ref[h] = jnp.zeros_like(dextra_ref[h])
+
+                dextra_ref[h] += ds
+
+            dsc = ds * scale
+            dqkv_ref[j, :, sl] = jax.lax.dot_general(
+                dsc, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dqkv_ref.dtype)
+            dqkv_ref[j, :, ksl] = jax.lax.dot_general(
+                dsc, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dqkv_ref.dtype)
+        return _
+
+    jax.lax.fori_loop(0, bc, body, 0)
+
+
+def _qkv_pick_bc(B: int, N: int, C: int, itemsize: int, bwd: bool,
+                 n_head: int, has_extra: bool) -> int:
+    env = _os.environ.get("VTX_FA_QKV_BC")
+    if env:
+        return int(env)
+    budget = 9 * 1024 * 1024
+    # resident per batch row: qkv [N, C] + out [N, C/3] (+ dqkv, do on bwd)
+    per_row = N * C * itemsize * ((1 + 1 + 2 / 3) if bwd else (1 + 1 / 3))
+    extra_bytes = (n_head * N * N * 4) * (2 if bwd else 1) if has_extra else 0
+    cap = max(1, int((budget - extra_bytes - N * N * 4) // per_row))
+    best = 1
+    for c in range(1, B + 1):
+        if B % c == 0 and c <= cap:
+            best = c
+    return best
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4))
+def fused_attention_qkv(qkv, n_head: int, extra=None,
+                        scale: Optional[float] = None,
+                        interpret: bool = False):
+    """Self-attention straight from the packed qkv projection.
+
+    qkv: [B, N, 3·H·D] — the fused projection's output, untouched (reference
+    hot path models/vit.py:16-45).  extra: optional additive [H, N, N]
+    bias/mask.  Returns [B, N, H·D], the out-projection's direct input.
+    """
+    out, _ = _qkv_fwd(qkv, n_head, extra, scale, interpret)
+    return out
+
+
+def _qkv_fwd(qkv, n_head, extra, scale, interpret):
+    B, N, C = qkv.shape
+    assert C % (3 * n_head) == 0, (C, n_head)
+    dim_head = C // (3 * n_head)
+    if scale is None:
+        scale = 1.0 / math.sqrt(dim_head)
+    extra_b, has_extra = _broadcast_extra(extra, n_head, N, N)
+    eg, em, en = extra_b.shape
+    bc = _qkv_pick_bc(B, N, C, qkv.dtype.itemsize, False, n_head,
+                      bool(has_extra))
+    extra_spec = pl.BlockSpec((eg, em, en), lambda b: (0, 0, 0))
+
+    out = pl.pallas_call(
+        functools.partial(_qkv_fwd_kernel, scale=scale, bc=bc, n_head=n_head,
+                          dim_head=dim_head, has_extra=bool(has_extra)),
+        grid=(B // bc,),
+        in_specs=[
+            pl.BlockSpec((bc, N, C), lambda b: (b, 0, 0)),
+            extra_spec,
+        ],
+        out_specs=pl.BlockSpec((bc, N, C // 3), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, N, C // 3), qkv.dtype),
+        interpret=interpret,
+        compiler_params=_cp(interpret),
+    )(qkv, extra_b)
+    return out, (qkv, extra)
+
+
+def _qkv_bwd(n_head, scale, interpret, res, do):
+    qkv, extra = res
+    B, N, C = qkv.shape
+    dim_head = C // (3 * n_head)
+    if scale is None:
+        scale = 1.0 / math.sqrt(dim_head)
+    extra_b, has_extra = _broadcast_extra(extra, n_head, N, N)
+    eg, em, en = extra_b.shape
+    bc = _qkv_pick_bc(B, N, C, qkv.dtype.itemsize, True, n_head,
+                      bool(has_extra))
+    extra_spec = pl.BlockSpec((eg, em, en), lambda b: (0, 0, 0))
+
+    dqkv, dextra = pl.pallas_call(
+        functools.partial(_qkv_bwd_kernel, scale=scale, bc=bc, n_head=n_head,
+                          dim_head=dim_head, has_extra=bool(has_extra)),
+        grid=(B // bc,),
+        in_specs=[
+            pl.BlockSpec((bc, N, C), lambda b: (b, 0, 0)),
+            extra_spec,
+            pl.BlockSpec((bc, N, C // 3), lambda b: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bc, N, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((n_head, N, N), lambda b: (0, 0, 0)) if has_extra
+            else pl.BlockSpec((1, 1, 1), lambda b: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+            jax.ShapeDtypeStruct((n_head, N, N) if has_extra else (1, 1, 1),
+                                 jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_cp(interpret),
+    )(qkv, extra_b, do.astype(qkv.dtype))
+
+    if extra is None:
+        dextra_out = None
+    else:
+        d = dextra
+        if extra.ndim == 2:
+            d = d.sum(0)
+        elif extra.shape[0] == 1 and n_head != 1:
+            d = d.sum(0, keepdims=True)
+        dextra_out = d.astype(extra.dtype)
+    return dqkv, dextra_out
+
+
+fused_attention_qkv.defvjp(
+    lambda qkv, n_head, extra, scale, interpret:
+        _qkv_fwd(qkv, n_head, extra, scale, interpret),
+    _qkv_bwd)

@@ -43,25 +43,31 @@ __all__ = [
 # Unit-wise adaptive gradient clipping (reference: optimizer.py:4-26)
 # ---------------------------------------------------------------------------
 
-def _unitwise_norm(x: jax.Array) -> jax.Array:
+# Leaves whose flax layout is the TRANSPOSE of the torch layout (output axis
+# last): Dense/Conv kernels, and the DINO head's weight-norm direction.
+# Everything else (cls_token, pos_embed, bias tables, scales, biases) has the
+# identical layout in both frameworks, so the reference's dim-0 unit applies
+# unchanged.
+_OUT_LAST_LEAVES = ("kernel", "last_v")
+
+
+def _unitwise_norm(x: jax.Array, out_last: bool = True) -> jax.Array:
     if x.ndim <= 1:
         return jnp.linalg.norm(x)
-    # norm over all axes but the output-unit axis, keepdims for broadcast.
-    # The reference (optimizer.py:4-9) norms over ``dim=range(1, ndim)``
-    # because torch Linear weights are (out, in) and conv (O,I,H,W) — the
-    # unit is an output neuron.  Flax Dense kernels are (in, out) and conv
-    # HWIO, so the output axis is the LAST one here; grouping over the last
-    # axis reproduces the reference's per-output-neuron unit.
-    return jnp.sqrt(
-        jnp.sum(jnp.square(x), axis=tuple(range(x.ndim - 1)), keepdims=True)
-    )
+    # The reference (optimizer.py:4-9) norms over ``dim=range(1, ndim)`` —
+    # the unit is dim 0, the output neuron of torch (out, in) / (O,I,H,W)
+    # weights.  For flax kernels ((in, out) / HWIO) that same unit is the
+    # LAST axis; for identically-laid-out leaves it stays the first.
+    axes = tuple(range(x.ndim - 1)) if out_last else tuple(range(1, x.ndim))
+    return jnp.sqrt(jnp.sum(jnp.square(x), axis=axes, keepdims=True))
 
 
 def adaptive_grad_clip(clipping: float = 0.01, eps: float = 1e-3) -> optax.GradientTransformation:
     """AGC: clip grads whose unit-wise norm exceeds ``clipping *`` param norm.
 
-    Faithful to reference optimizer.py:12-26 with the unit convention mapped
-    to flax kernel layouts (see ``_unitwise_norm``).
+    Faithful to reference optimizer.py:12-26; the per-output-neuron unit
+    grouping is mapped per leaf kind (see ``_unitwise_norm`` /
+    ``_OUT_LAST_LEAVES``) so it selects the same units as the torch code.
     """
 
     def init_fn(params):
@@ -72,15 +78,17 @@ def adaptive_grad_clip(clipping: float = 0.01, eps: float = 1e-3) -> optax.Gradi
         if params is None:
             raise ValueError("adaptive_grad_clip requires params")
 
-        def clip(g, p):
+        def clip(path, g, p):
             if g is None:
                 return g
-            max_norm = jnp.maximum(_unitwise_norm(p), eps) * clipping
-            g_norm = _unitwise_norm(g)
+            leaf = str(getattr(path[-1], "key", path[-1])) if path else ""
+            out_last = leaf in _OUT_LAST_LEAVES
+            max_norm = jnp.maximum(_unitwise_norm(p, out_last), eps) * clipping
+            g_norm = _unitwise_norm(g, out_last)
             clipped = g * (max_norm / jnp.maximum(g_norm, 1e-6))
             return jnp.where(g_norm < max_norm, g, clipped)
 
-        return jax.tree.map(clip, updates, params), state
+        return jax.tree_util.tree_map_with_path(clip, updates, params), state
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -128,15 +136,19 @@ def wd_mask(params, skip_type: str):
 
 
 def agc_mask(params):
-    """AGC applies to everything except the final classifier head.
+    """AGC applies to every parameter whose name does NOT contain "linear".
 
-    Reference excludes parameters named ``linear`` (the classifier) from AGC
-    (train.py:256-262: ``exclude={"linear"}``).
+    This is the reference's exact string rule (train.py:260,
+    train_dino.py:212: ``if "linear" not in p[0]``): it excludes attention
+    out-projections, patch-embedding/merge linears, PVT's linear_q/linear_kv
+    and NFNet's ``linear`` classifier — while classifiers named otherwise
+    (swin ``classifier``, efficientnet ``logit``) ARE clipped, exactly as in
+    the reference.  Flax module names mirror the reference's torch attribute
+    names so the rule selects the same tensors.
     """
 
     def is_clipped(path, x):
-        name = _path_names(path)
-        return not ("head" in name or name.endswith("linear/kernel") or name.endswith("linear/bias"))
+        return "linear" not in _path_names(path)
 
     return jax.tree_util.tree_map_with_path(is_clipped, params)
 
