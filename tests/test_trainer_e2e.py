@@ -59,3 +59,34 @@ def test_progressive_stage_advance(tmp_path):
     metrics = train_classification(conf)
     assert metrics["epoch"] == 1
     assert np.isfinite(metrics["loss"])
+
+
+def test_progressive_effnetv2_bn_ema_across_stage_boundary(tmp_path):
+    """Progressive EfficientNetV2 with BN + EMA + EMA-of-BN: the stage
+    advance re-jits at a new image size while batch_stats / ema_params /
+    ema_batch_stats carry over (reference train.py:221-233 +
+    train_util.py:70-84; round-1 verdict item #7)."""
+    import os
+
+    from vision_transformers_tpu.train.trainer import train_classification
+
+    path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "efficientnetv2-s.conf")
+    conf = load_config(path, overrides=[
+        "training.epoch=2", "training.dataloader.batch_size=16",
+        "data_backend=synthetic", "arch.width=0.25", "arch.depth=0.25",
+        "arch.n_class=5", "dataset_path=/nonexistent", "precision=f32",
+        "training.scheduler.warmup=0",
+        "training.progressive.step=1",
+        "training.progressive.train_sizes=[32, 48]",
+        "training.progressive.valid_sizes=[32, 48]",
+        "training.progressive.grad_accumulation=[1, 1]",
+        "training.progressive.dropouts=[0.1, 0.2]",
+        f"checker.storage=[{{type: local, path: {tmp_path}/ck}}]",
+    ])
+    assert conf.training.ema > 0 and conf.training.ema_bn  # recipe defaults
+    metrics = train_classification(conf)
+    assert metrics["epoch"] == 1
+    assert np.isfinite(metrics["loss"])
+    assert np.isfinite(metrics["valid_loss"])  # EMA + EMA-BN eval at 48px
+    assert (tmp_path / "ck" / "epoch-002").exists()
