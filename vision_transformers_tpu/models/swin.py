@@ -132,20 +132,8 @@ class WindowAttention(nn.Module):
         window = self.window_size
         hs, ws = h // window, w // window
         inner = self.n_head * self.dim_head
-
-        roll = window // 2
-        if self.shift:
-            x = jnp.roll(x, (-roll, -roll), (1, 2))
-
-        qkv = nn.Dense(inner * 3, dtype=self.dtype,
-                       kernel_init=trunc_normal_init(0.02), name="weight")(x)
-        qkv = qkv.reshape(b, hs, window, ws, window, 3, self.n_head, self.dim_head)
-        # [b, S, 3, head, w², d]
-        qkv = qkv.transpose(0, 1, 3, 5, 6, 2, 4, 7).reshape(
-            b, hs * ws, 3, self.n_head, window * window, self.dim_head
-        )
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-
+        n_win = hs * ws
+        w2 = window * window
         scale = 1.0 / math.sqrt(self.dim_head)
 
         bias_table = self.param(
@@ -158,74 +146,119 @@ class WindowAttention(nn.Module):
 
         from .. import ops as _ops
 
-        n_win = hs * ws
-        w2 = window * window
-        # default False until the Swin A/B on real hardware proves a win
-        # (scripts/bench_swin_ab.py; see PERF.md)
-        if _ops.fused_attention_enabled(b, default=False) and \
-                (deterministic or self.dropout == 0.0):
-            # Pallas fused kernel; bias + shift mask folded into one additive
-            # ``extra`` tensor.  PERF: windows are PACKED IN PAIRS along the
-            # token dim (49 → 98 tokens ≤ 128) with a block-diagonal mask —
-            # a [98,·]·[·,98] MXU pass costs the same as a [49,·]·[·,49] one
-            # (both pad to the 128-lane tile), so packing halves the number
+        roll = window // 2
+        use_fused = _ops.fused_attention_enabled(b, default=False) and \
+            (deterministic or self.dropout == 0.0)
+
+        if use_fused:
+            # TPU path: window-MAJOR partition BEFORE the projections, so the
+            # qkv Dense emits tokens-in-sublanes [G·b, tokens, 3·inner] that
+            # the flat Pallas kernel (ops.fused_attention_qkv) reads with
+            # zero relayouts; the per-window rel-pos bias + shift mask ride
+            # in as a GROUPED extra (one [head, m, m] slab per window group).
+            # Window PAIRS are folded into the partition reshape (49 → 98
+            # tokens ≤ 128 lanes, block-diagonal mask): a [98,·]·[·,98] MXU
+            # pass costs the same as a [49,·]·[·,49] one, halving the number
             # of attention dots for free (reference hot kernel:
             # models/swin_transformer.py:103-160).
-            pack = 2 if (n_win % 2 == 0 and 2 * w2 <= 128) else 1
+            if self.shift:
+                x = jnp.roll(x, (-roll, -roll), (1, 2))
+            pack = 2 if (ws % 2 == 0 and 2 * w2 <= 128) else 1
             m_tok = pack * w2
-            if pack > 1:
-                def pack_tokens(t):  # [b, S, head, w², d] → [b, S/2·head, 2w², d]
-                    t = t.reshape(b, n_win // pack, pack, self.n_head, w2,
-                                  self.dim_head)
-                    t = t.transpose(0, 1, 3, 2, 4, 5)
-                    return t.reshape(b, n_win // pack * self.n_head, m_tok,
-                                     self.dim_head)
+            groups = n_win // pack
 
-                qg, kg, vg = pack_tokens(q), pack_tokens(k), pack_tokens(v)
+            # [b,H,W,C] → [hs, ws/pack, b, pack, wy, wx, C] → [G·b, m_tok, C]
+            xw = x.reshape(b, hs, window, ws // pack, pack, window, dim)
+            xw = xw.transpose(1, 3, 0, 4, 2, 5, 6)
+            xw = xw.reshape(groups * b, m_tok, dim)
+
+            qkv = nn.Dense(inner * 3, dtype=self.dtype,
+                           kernel_init=trunc_normal_init(0.02), name="weight")(xw)
+
+            # grouped extra [G, head, m, m]: rel-pos bias on the diagonal
+            # blocks (shared), −1e9 off-diagonal, plus the per-window shift
+            # mask
+            if pack > 1:
                 neg = jnp.full((self.n_head, w2, w2), -1e9, jnp.float32)
-                pair_bias = jnp.concatenate([
+                slab = jnp.concatenate([
                     jnp.concatenate([bias, neg], axis=-1),
                     jnp.concatenate([neg, bias], axis=-1),
-                ], axis=-2)  # [head, 2w², 2w²], off-diagonal blocks masked
-                extra = jnp.broadcast_to(
-                    pair_bias[None], (n_win // pack, self.n_head, m_tok, m_tok))
-                if self.shift:
-                    m = shifted_window_mask((h, w), window)  # np [S, w², w²]
-                    m = m.reshape(n_win // pack, pack, w2, w2)
-                    pm = np.zeros((n_win // pack, m_tok, m_tok), np.float32)
-                    pm[:, :w2, :w2] = m[:, 0]
-                    pm[:, w2:, w2:] = m[:, 1]
-                    extra = extra + jnp.asarray(pm)[:, None]
-                out = _ops.fused_attention(
-                    qg, kg, vg, extra.reshape(-1, m_tok, m_tok), scale)
-                out = out.reshape(b, n_win // pack, self.n_head, pack, w2,
-                                  self.dim_head)
-                out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
-                    b, n_win, self.n_head, w2, self.dim_head)
+                ], axis=-2)  # [head, 2w², 2w²]
             else:
-                extra = jnp.broadcast_to(bias[None], (n_win, self.n_head, w2, w2))
-                if self.shift:
-                    mask = jnp.asarray(shifted_window_mask((h, w), window))
-                    extra = extra + mask[:, None]
-                out = _ops.fused_attention(
-                    q.reshape(b, n_win * self.n_head, w2, self.dim_head),
-                    k.reshape(b, n_win * self.n_head, w2, self.dim_head),
-                    v.reshape(b, n_win * self.n_head, w2, self.dim_head),
-                    extra.reshape(n_win * self.n_head, w2, w2), scale,
-                )
-                out = out.reshape(b, n_win, self.n_head, w2, self.dim_head)
-        else:
-            score = jnp.einsum("bshqd,bshkd->bshqk", q, k) * scale
-            score = score + bias.astype(score.dtype)[None, None]
+                slab = bias
+            extra = jnp.broadcast_to(slab[None], (groups, self.n_head, m_tok, m_tok))
             if self.shift:
-                mask = shifted_window_mask((h, w), window)  # static [S, w², w²]
-                score = score + jnp.asarray(mask[None, :, None], score.dtype)
-            attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
-            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-            out = jnp.einsum("bshqk,bshkd->bshqd", attn, v)
+                m = shifted_window_mask((h, w), window)  # np [n_win, w², w²]
+                # window order after the pack reshape: (hs, ws/pack, pack)
+                m = m.reshape(hs, ws // pack, pack, w2, w2)
+                pm = np.zeros((hs, ws // pack, m_tok, m_tok), np.float32)
+                pm[:, :, :w2, :w2] = m[:, :, 0]
+                if pack > 1:
+                    pm[:, :, w2:, w2:] = m[:, :, 1]
+                extra = extra + jnp.asarray(pm.reshape(groups, 1, m_tok, m_tok))
 
-        out = out.reshape(b, hs, ws, self.n_head, window, window, self.dim_head)
-        out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(b, h, w, inner)
+            out = _ops.fused_attention_qkv(qkv, self.n_head, extra, scale)
+
+            # out projection is token-pointwise — apply in window layout,
+            # then de-partition the C-sized features once
+            out = nn.Dense(dim, dtype=self.dtype,
+                           kernel_init=trunc_normal_init(0.02), name="linear")(out)
+            out = out.reshape(hs, ws // pack, b, pack, window, window, dim)
+            out = out.transpose(2, 0, 4, 1, 3, 5, 6).reshape(b, h, w, dim)
+
+            if self.shift:
+                out = jnp.roll(out, (roll, roll), (1, 2))
+            return out
+
+        # einsum path — ALSO window-pair packed where shapes allow: batching
+        # two 49-token windows into one 98-token block-diagonal attention
+        # halves the number of tiny MXU dots for the same pass cost
+        # (isolated v5e measurement: stage-3 fwd+bwd 1.5 ms packed vs
+        # 2.83 ms unpacked per layer — PERF.md round 2)
+        if self.shift:
+            x = jnp.roll(x, (-roll, -roll), (1, 2))
+
+        pack = 2 if (ws % 2 == 0 and 2 * w2 <= 128) else 1
+        m_tok = pack * w2
+        n_grp = n_win // pack
+
+        qkv = nn.Dense(inner * 3, dtype=self.dtype,
+                       kernel_init=trunc_normal_init(0.02), name="weight")(x)
+        qkv = qkv.reshape(b, hs, window, ws // pack, pack, window, 3,
+                          self.n_head, self.dim_head)
+        # [b, S/pack, 3, head, pack·w², d], token order (pair, wy, wx)
+        qkv = qkv.transpose(0, 1, 3, 6, 7, 4, 2, 5, 8).reshape(
+            b, n_grp, 3, self.n_head, m_tok, self.dim_head
+        )
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        if pack > 1:
+            neg = jnp.full((self.n_head, w2, w2), -1e9, jnp.float32)
+            slab = jnp.concatenate([
+                jnp.concatenate([bias, neg], axis=-1),
+                jnp.concatenate([neg, bias], axis=-1),
+            ], axis=-2)  # block-diagonal bias, off-diagonal masked
+        else:
+            slab = bias
+
+        score = jnp.einsum("bshqd,bshkd->bshqk", q, k) * scale
+        score = score + slab.astype(score.dtype)[None, None]
+        if self.shift:
+            m = shifted_window_mask((h, w), window)  # static [S, w², w²]
+            m = m.reshape(hs, ws // pack, pack, w2, w2)
+            pm = np.zeros((hs, ws // pack, m_tok, m_tok), np.float32)
+            pm[:, :, :w2, :w2] = m[:, :, 0]
+            if pack > 1:
+                pm[:, :, w2:, w2:] = m[:, :, 1]
+            score = score + jnp.asarray(
+                pm.reshape(n_grp, m_tok, m_tok)[None, :, None], score.dtype)
+        attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bshqk,bshkd->bshqd", attn, v)
+
+        out = out.reshape(b, hs, ws // pack, self.n_head, pack, window, window,
+                          self.dim_head)
+        out = out.transpose(0, 1, 5, 2, 4, 6, 3, 7).reshape(b, h, w, inner)
         out = nn.Dense(dim, dtype=self.dtype,
                        kernel_init=trunc_normal_init(0.02), name="linear")(out)
 

@@ -312,7 +312,7 @@ def _qkv_fwd_kernel(qkv_ref, extra_ref, o_ref, *, scale, bc, n_head, dim_head,
                 preferred_element_type=jnp.float32,
             ) * scale
             if has_extra:
-                s = s + extra_ref[h].astype(jnp.float32)
+                s = s + extra_ref[0, h].astype(jnp.float32)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             l = jnp.sum(p, axis=-1, keepdims=True)
@@ -327,7 +327,7 @@ def _qkv_fwd_kernel(qkv_ref, extra_ref, o_ref, *, scale, bc, n_head, dim_head,
 
 
 def _qkv_bwd_kernel(qkv_ref, extra_ref, do_ref, dqkv_ref, dextra_ref, *,
-                    scale, bc, n_head, dim_head, has_extra):
+                    scale, bc, n_head, dim_head, has_extra, blocks_per_group):
     HD = n_head * dim_head
     b = pl.program_id(0)
 
@@ -346,7 +346,7 @@ def _qkv_bwd_kernel(qkv_ref, extra_ref, do_ref, dqkv_ref, dextra_ref, *,
                 preferred_element_type=jnp.float32,
             ) * scale
             if has_extra:
-                s = s + extra_ref[h].astype(jnp.float32)
+                s = s + extra_ref[0, h].astype(jnp.float32)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)   # [N, N] f32
@@ -363,11 +363,13 @@ def _qkv_bwd_kernel(qkv_ref, extra_ref, do_ref, dqkv_ref, dextra_ref, *,
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
 
             if has_extra:
-                @pl.when((b == 0) & (j == 0))
+                # dextra block is revisited across the batch blocks of its
+                # group; zero it on the group's first visit
+                @pl.when((b % blocks_per_group == 0) & (j == 0))
                 def _init():
-                    dextra_ref[h] = jnp.zeros_like(dextra_ref[h])
+                    dextra_ref[0, h] = jnp.zeros_like(dextra_ref[0, h])
 
-                dextra_ref[h] += ds
+                dextra_ref[0, h] += ds
 
             dsc = ds * scale
             dqkv_ref[j, :, sl] = jax.lax.dot_general(
@@ -400,6 +402,24 @@ def _qkv_pick_bc(B: int, N: int, C: int, itemsize: int, bwd: bool,
     return best
 
 
+def _qkv_extra_form(extra, B, n_head, N):
+    """Normalize extra to [G, H, N, N] (G=1 when shared across the batch).
+
+    A 4-D extra is GROUPED: the batch dim is laid out as G contiguous groups
+    of B/G rows, and group g gets extra[g] (Swin: g = window identity after a
+    window-major partition).  2-D/3-D extras broadcast to one shared group.
+    """
+    if extra is None:
+        return jnp.zeros((1, 1, 1, 1), jnp.float32), 0, 1
+    if extra.ndim == 4:
+        G = extra.shape[0]
+        if B % G != 0:
+            raise ValueError(f"batch {B} not divisible by extra groups {G}")
+        return extra.astype(jnp.float32), 1, G
+    e = jnp.broadcast_to(extra.astype(jnp.float32), (n_head, N, N))
+    return e[None], 1, 1
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4))
 def fused_attention_qkv(qkv, n_head: int, extra=None,
                         scale: Optional[float] = None,
@@ -407,8 +427,10 @@ def fused_attention_qkv(qkv, n_head: int, extra=None,
     """Self-attention straight from the packed qkv projection.
 
     qkv: [B, N, 3·H·D] — the fused projection's output, untouched (reference
-    hot path models/vit.py:16-45).  extra: optional additive [H, N, N]
-    bias/mask.  Returns [B, N, H·D], the out-projection's direct input.
+    hot path models/vit.py:16-45).  extra: optional additive bias/mask —
+    [H, N, N] shared over the batch, or [G, H, N, N] grouped (batch laid out
+    as G contiguous groups; Swin windows).  Returns [B, N, H·D], the out
+    projection's direct input.
     """
     out, _ = _qkv_fwd(qkv, n_head, extra, scale, interpret)
     return out
@@ -420,11 +442,12 @@ def _qkv_fwd(qkv, n_head, extra, scale, interpret):
     dim_head = C // (3 * n_head)
     if scale is None:
         scale = 1.0 / math.sqrt(dim_head)
-    extra_b, has_extra = _broadcast_extra(extra, n_head, N, N)
-    eg, em, en = extra_b.shape
-    bc = _qkv_pick_bc(B, N, C, qkv.dtype.itemsize, False, n_head,
+    extra_b, has_extra, groups = _qkv_extra_form(extra, B, n_head, N)
+    _, eh, em, en = extra_b.shape
+    bc = _qkv_pick_bc(B // groups, N, C, qkv.dtype.itemsize, False, n_head,
                       bool(has_extra))
-    extra_spec = pl.BlockSpec((eg, em, en), lambda b: (0, 0, 0))
+    bpg = (B // groups) // bc  # batch blocks per extra group
+    extra_spec = pl.BlockSpec((1, eh, em, en), lambda b: (b // bpg, 0, 0, 0))
 
     out = pl.pallas_call(
         functools.partial(_qkv_fwd_kernel, scale=scale, bc=bc, n_head=n_head,
@@ -448,15 +471,17 @@ def _qkv_bwd(n_head, scale, interpret, res, do):
     dim_head = C // (3 * n_head)
     if scale is None:
         scale = 1.0 / math.sqrt(dim_head)
-    extra_b, has_extra = _broadcast_extra(extra, n_head, N, N)
-    eg, em, en = extra_b.shape
-    bc = _qkv_pick_bc(B, N, C, qkv.dtype.itemsize, True, n_head,
+    extra_b, has_extra, groups = _qkv_extra_form(extra, B, n_head, N)
+    _, eh, em, en = extra_b.shape
+    bc = _qkv_pick_bc(B // groups, N, C, qkv.dtype.itemsize, True, n_head,
                       bool(has_extra))
-    extra_spec = pl.BlockSpec((eg, em, en), lambda b: (0, 0, 0))
+    bpg = (B // groups) // bc
+    extra_spec = pl.BlockSpec((1, eh, em, en), lambda b: (b // bpg, 0, 0, 0))
 
     dqkv, dextra = pl.pallas_call(
         functools.partial(_qkv_bwd_kernel, scale=scale, bc=bc, n_head=n_head,
-                          dim_head=dim_head, has_extra=bool(has_extra)),
+                          dim_head=dim_head, has_extra=bool(has_extra),
+                          blocks_per_group=bpg),
         grid=(B // bc,),
         in_specs=[
             pl.BlockSpec((bc, N, C), lambda b: (b, 0, 0)),
@@ -465,13 +490,13 @@ def _qkv_bwd(n_head, scale, interpret, res, do):
         ],
         out_specs=[
             pl.BlockSpec((bc, N, C), lambda b: (b, 0, 0)),
-            pl.BlockSpec((n_head, N, N), lambda b: (0, 0, 0)) if has_extra
-            else pl.BlockSpec((1, 1, 1), lambda b: (0, 0, 0)),
+            pl.BlockSpec((1, n_head, N, N), lambda b: (b // bpg, 0, 0, 0))
+            if has_extra else pl.BlockSpec((1, 1, 1, 1), lambda b: (0, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
-            jax.ShapeDtypeStruct((n_head, N, N) if has_extra else (1, 1, 1),
-                                 jnp.float32),
+            jax.ShapeDtypeStruct((groups, n_head, N, N) if has_extra
+                                 else (1, 1, 1, 1), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=_cp(interpret),
@@ -479,8 +504,10 @@ def _qkv_bwd(n_head, scale, interpret, res, do):
 
     if extra is None:
         dextra_out = None
+    elif extra.ndim == 4:
+        dextra_out = dextra.astype(extra.dtype)
     else:
-        d = dextra
+        d = dextra[0]
         if extra.ndim == 2:
             d = d.sum(0)
         elif extra.shape[0] == 1 and n_head != 1:
