@@ -173,3 +173,59 @@ def test_autoaugment_runs():
     out = np.asarray(out)
     assert out.shape == batch.shape
     assert np.isfinite(out).all()
+
+
+def test_grouped_randaugment_equals_per_sample_ops():
+    """The family-grouped evaluation must be BIT-IDENTICAL to applying each
+    sample's own op directly (same RNG schedule as randaugment's layer 0)."""
+    rng = np.random.default_rng(11)
+    b = 24  # enough samples to hit most op families
+    imgs = jnp.asarray(rng.integers(0, 256, (b, 24, 24, 3)), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    ops = list(A.RANDAUGMENT_OPS)
+    ctx_translate, ctx_cutout = 10, 6
+
+    out = A.randaugment(key, imgs, 1, 9.0, translate=ctx_translate,
+                        cutout=ctx_cutout)
+
+    # reconstruct layer-0 draws exactly as randaugment makes them
+    lkey = jax.random.fold_in(key, 0)
+    k_idx, k_mag, k_op = jax.random.split(lkey, 3)
+    idx = np.asarray(jax.random.randint(k_idx, (b,), 0, len(ops)))
+    op_keys = jax.random.split(k_op, b)
+
+    hit = set()
+    for i in range(b):
+        name = ops[idx[i]]
+        hit.add(name)
+        expected = A.apply_named_op(name, imgs[i], 9.0, op_keys[i],
+                                    translate=ctx_translate, cutout=ctx_cutout)
+        np.testing.assert_array_equal(
+            np.asarray(out[i]), np.asarray(expected), err_msg=f"sample {i} op {name}")
+    assert len(hit) >= 8, f"too few distinct ops exercised: {sorted(hit)}"
+
+
+def test_grouped_autoaugment_equals_per_sample_policies():
+    """Grouped AutoAugment must match running each sample's policy directly
+    (same per-sample RNG schedule)."""
+    rng = np.random.default_rng(12)
+    b = 16
+    imgs = jnp.asarray(rng.integers(0, 256, (b, 20, 20, 3)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    out = A.autoaugment(key, imgs, translate=8, cutout=5)
+
+    k_idx, k_ops = jax.random.split(key)
+    pidx = np.asarray(jax.random.randint(k_idx, (b,), 0, len(A.AUTOAUGMENT_POLICY)))
+    keys = jax.random.split(k_ops, b)
+
+    for i in range(b):
+        img = imgs[i]
+        k = keys[i]
+        for step, (name, prob, level) in enumerate(A.AUTOAUGMENT_POLICY[pidx[i]]):
+            k_gate, k_op, k = jax.random.split(jax.random.fold_in(k, step), 3)
+            applied = A.apply_named_op(name, img, float(level), k_op,
+                                       translate=8, cutout=5)
+            img = jnp.where(jax.random.uniform(k_gate) < prob, applied, img)
+        np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(img),
+                                      err_msg=f"sample {i} policy {pidx[i]}")

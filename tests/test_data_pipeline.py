@@ -228,3 +228,27 @@ def test_mix_batch_partner_distribution_matches_whole_dataset_draw():
     assert (off > 0).all()
     dev = np.abs(off - expected).max()
     assert dev <= 6 * sigma, (dev, sigma)
+
+
+def test_mix_quantize_matches_pil_blend():
+    """quantize=True reproduces PIL Image.blend's uint8 truncation exactly
+    (the reference's pre-augmentation mix path, mix_dataset.py:68)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, (2, 16, 16, 3)).astype(np.uint8)
+    key = jax.random.PRNGKey(9)
+    out, l1, l2, ratio = ops.mix_batch(
+        key, jnp.asarray(a, jnp.float32), jnp.asarray([0, 1], jnp.int32),
+        mixup=0.8, cutmix=0.0, quantize=True)
+    out = np.asarray(out)
+    # integer-valued and equal to PIL blend with the drawn ratio/partner
+    np.testing.assert_array_equal(out, np.trunc(out))
+    r = np.asarray(ratio)
+    # labels are the indices here, so label2 identifies each partner row
+    shift_partner = a[np.asarray(l2)]
+    for i in range(2):
+        pil = np.asarray(Image.blend(Image.fromarray(a[i]),
+                                     Image.fromarray(shift_partner[i]),
+                                     float(1.0 - r[i])))
+        np.testing.assert_allclose(out[i], pil, atol=1.0)  # float32 vs PIL fp

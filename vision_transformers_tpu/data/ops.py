@@ -86,11 +86,19 @@ def mix_batch(
     labels: jax.Array,   # [B]
     mixup: float = 0.0,
     cutmix: float = 0.0,
+    quantize: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns (mixed_images, label1, label2, ratio) — the MixDataset tuple.
 
     Index-parity alternation (reference :54-59): with both enabled, even
     indices get cutmix disabled (mixup), odd get mixup disabled (cutmix).
+
+    ``quantize`` reproduces the reference's PIL path semantics when mixing
+    runs BEFORE augmentation (mix_dataset.py:68: ``Image.blend`` outputs
+    uint8 with C truncation) — the mixed image stays integer-valued, which
+    the on-device PIL-exact augment ops rely on.  Leave False for the
+    post-augmentation tensor path (mix_dataset.py:65: ``mul/add_``, no
+    rounding).
     """
     b, h, w, _ = images.shape
     if mixup <= 0 and cutmix <= 0:
@@ -117,8 +125,14 @@ def mix_batch(
 
     # mixup: ratio ~ Beta(a, a); img = ratio*img1 + (1-ratio)*img2 (:60-69)
     mix_ratio = jax.random.beta(k_beta, max(mixup, 1e-6), max(mixup, 1e-6), (b,))
-    mixed = images * mix_ratio[:, None, None, None] + \
-        partner * (1.0 - mix_ratio)[:, None, None, None]
+    if quantize:
+        # PIL Image.blend(img1, img2, alpha=1-ratio): img1 + alpha*(img2-img1)
+        # truncated to uint8 (verified against PIL)
+        alpha = (1.0 - mix_ratio)[:, None, None, None]
+        mixed = jnp.trunc(images + alpha * (partner - images))
+    else:
+        mixed = images * mix_ratio[:, None, None, None] + \
+            partner * (1.0 - mix_ratio)[:, None, None, None]
 
     # cutmix: ratio uniform when cutmix==1 else Beta (:71-76); box pasted,
     # ratio recomputed from clipped box area (:80-85)

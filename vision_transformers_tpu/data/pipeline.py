@@ -226,17 +226,21 @@ class HostLoader:
                         if stop.is_set():
                             break
                         sel = indices[b * self.local_batch:(b + 1) * self.local_batch]
-                        if (len(sel) < self.local_batch and not self.drop_last
-                                and self.shard_count > 1):
-                            # multi-process needs equal shapes on every host
-                            # to assemble the global array; wrap-pad like
-                            # torch's DistributedSampler does
-                            pad = self.local_batch - len(sel)
+                        n_valid = len(sel)
+                        if n_valid < self.local_batch and not self.drop_last:
+                            # always emit full batches: ragged tails can't be
+                            # sharded over the device mesh (and multi-process
+                            # needs equal shapes on every host — torch's
+                            # DistributedSampler wrap-pads the same way).
+                            # ``n_valid`` lets the eval step zero-weight the
+                            # padding so metrics stay exact.
+                            pad = self.local_batch - n_valid
                             sel = np.concatenate([sel, indices[:pad]])
                         results = list(pool.map(decode_one, sel))
                         images = np.stack([r[0] for r in results])
                         labels = np.asarray([r[1] for r in results], np.int32)
-                        out_q.put({"image": images, "label": labels})
+                        out_q.put({"image": images, "label": labels,
+                                   "n_valid": n_valid})
             except BaseException as e:  # surface worker failures to the consumer
                 error.append(e)
             finally:
@@ -277,7 +281,10 @@ def make_device_augment(
         x = ops.random_hflip(k_flip, x)
 
         if mix_before_aug:
-            x, l1, l2, ratio = ops.mix_batch(k_mix, x, labels, mixup, cutmix)
+            # pre-aug mixes are PIL-uint8-domain in the reference — quantize
+            # (keeps the augment inputs integer-valued, see ops.mix_batch)
+            x, l1, l2, ratio = ops.mix_batch(k_mix, x, labels, mixup, cutmix,
+                                             quantize=True)
         if randaug_layer > 0:
             x = A.randaugment(
                 k_aug, x, randaug_layer, randaug_magnitude,
@@ -296,10 +303,13 @@ def make_device_augment(
 
 
 def make_valid_prep():
-    """uint8 valid batch → normalized eval batch dict."""
+    """uint8 valid batch → normalized eval batch dict with per-sample
+    weights (0 for wrap-padding rows in the final ragged batch)."""
+    import jax.numpy as jnp
 
-    def prep(images, labels):
-        x = ops.normalize(images.astype(jax.numpy.float32))
-        return {"image": x, "label1": labels}
+    def prep(images, labels, n_valid):
+        x = ops.normalize(images.astype(jnp.float32))
+        weight = (jnp.arange(images.shape[0]) < n_valid).astype(jnp.float32)
+        return {"image": x, "label1": labels, "weight": weight}
 
     return jax.jit(prep)

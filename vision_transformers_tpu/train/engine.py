@@ -195,6 +195,8 @@ def make_eval_step(model, use_ema: bool = False) -> Callable:
 
     Returns per-batch sums and the count so the caller can aggregate exactly
     like the reference's cross-rank reduce_dict + Meter normalization.
+    ``batch["weight"]`` (optional, [B] of 0/1) zero-weights wrap-padding
+    rows the loader appends to the final ragged batch.
     """
 
     def eval_step(state: TrainState, batch: dict):
@@ -202,9 +204,20 @@ def make_eval_step(model, use_ema: bool = False) -> Callable:
         stats = state.ema_batch_stats if (use_ema and state.ema_batch_stats is not None) \
             else state.batch_stats
         logits, _ = _apply(model, params, stats, batch["image"], False, None)
-        loss = L.cross_entropy_loss(logits, batch["label1"])
-        prec1, prec5 = accuracy(logits, batch["label1"])
         b = batch["image"].shape[0]
-        return {"loss": loss * b, "prec1": prec1 * b, "prec5": prec5 * b, "n": jnp.asarray(b, jnp.float32)}
+        w = batch.get("weight")
+        if w is None:
+            w = jnp.ones((b,), jnp.float32)
+        losses = L.cross_entropy_loss(logits, batch["label1"], reduction="none")
+        ranks = jnp.argsort(-logits, axis=-1)[:, :5]
+        hit = ranks == batch["label1"][:, None]
+        hit1 = jnp.any(hit[:, :1], axis=-1).astype(jnp.float32)
+        hit5 = jnp.any(hit, axis=-1).astype(jnp.float32)
+        return {
+            "loss": jnp.sum(losses * w),
+            "prec1": 100.0 * jnp.sum(hit1 * w),
+            "prec5": 100.0 * jnp.sum(hit5 * w),
+            "n": jnp.sum(w),
+        }
 
     return eval_step

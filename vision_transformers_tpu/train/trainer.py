@@ -127,7 +127,8 @@ def _make_stage_loaders(conf: ImageNetConfig, settings) -> Tuple[Callable, Calla
 
         def valid_iter():
             for hb in valid_loader.epoch(0):
-                yield valid_prep(jnp.asarray(hb["image"]), jnp.asarray(hb["label"]))
+                yield valid_prep(jnp.asarray(hb["image"]), jnp.asarray(hb["label"]),
+                                 jnp.asarray(hb["n_valid"]))
 
         return train_iter, valid_iter, max(len(train_loader), 1)
 
