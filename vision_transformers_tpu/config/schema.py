@@ -15,7 +15,7 @@ choice — the reference's ``fp16`` flag maps onto it).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Literal, Optional, Tuple
 
 from pydantic import BaseModel, ConfigDict, Field, field_validator
 
@@ -105,6 +105,11 @@ class Training(_Base):
     mixup: float = 0.0
     cutmix: float = 0.0
     mix_before_aug: bool = True
+
+    # where RandAugment/mix run: "device" (jitted on-accelerator program) or
+    # "host" (PIL in the loader's thread pool — the reference's own backend;
+    # overlaps with device compute on multi-core hosts, see PERF.md)
+    augment_backend: Literal["device", "host"] = "device"
 
     clip_grad_norm: float = 0.0
     grad_accumulation: int = 1

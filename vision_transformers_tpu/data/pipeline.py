@@ -165,11 +165,18 @@ class HostLoader:
         shard_index: Optional[int] = None,
         shard_count: Optional[int] = None,
         drop_last: bool = True,
+        host_augment: Optional[dict] = None,
     ):
+        """``host_augment`` (train only) selects the PIL loader-thread
+        augmentation backend (reference factory.py:169-181 order): keys
+        ``hflip`` (bool), ``mix`` ({mixup, cutmix} — pre-aug, PIL-blend
+        semantics) and ``randaug`` (kwargs for host_augment.pil_randaugment).
+        Emitted batches then carry ``label2``/``ratio``."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.image_size = image_size
         self.train = train
+        self.host_augment = host_augment if train else None
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.seed = seed
@@ -206,14 +213,25 @@ class HostLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        ha = self.host_augment
+
         def decode_one(i: int):
             label, payload = self.dataset.get(int(i))
             if self.train:
                 rng = pyrandom.Random(hash((self.seed, epoch, int(i))))
                 img = decode_random_resized_crop(payload, self.image_size, rng)
+                if ha and ha.get("hflip") and rng.random() < 0.5:
+                    img = img[:, ::-1]  # RandomHorizontalFlip after RRC
             else:
                 img = decode_valid(payload, self.image_size)
             return img, label
+
+        def host_randaug_one(args):
+            i, img = args
+            from . import host_augment as HA
+
+            rng = pyrandom.Random(hash((self.seed, "ra", epoch, int(i))))
+            return HA.pil_randaugment(img, rng, **ha["randaug"])
 
         error: list = []
 
@@ -239,8 +257,24 @@ class HostLoader:
                         results = list(pool.map(decode_one, sel))
                         images = np.stack([r[0] for r in results])
                         labels = np.asarray([r[1] for r in results], np.int32)
-                        out_q.put({"image": images, "label": labels,
-                                   "n_valid": n_valid})
+                        batch_out = {"image": images, "label": labels,
+                                     "n_valid": n_valid}
+                        if ha:
+                            from . import host_augment as HA
+
+                            if ha.get("mix"):
+                                rng_b = np.random.default_rng(
+                                    hash((self.seed, "mix", epoch, b)) & 0x7FFFFFFF)
+                                images, l1, l2, ratio = HA.mix_host_batch(
+                                    images, labels, ha["mix"].get("mixup", 0.0),
+                                    ha["mix"].get("cutmix", 0.0), rng_b)
+                                batch_out.update(image=images, label=l1,
+                                                 label2=l2, ratio=ratio)
+                            if ha.get("randaug"):
+                                images = np.stack(list(pool.map(
+                                    host_randaug_one, zip(sel, images))))
+                                batch_out["image"] = images
+                        out_q.put(batch_out)
             except BaseException as e:  # surface worker failures to the consumer
                 error.append(e)
             finally:
@@ -300,6 +334,26 @@ def make_device_augment(
         return {"image": x, "label1": l1, "label2": l2, "ratio": ratio}
 
     return jax.jit(augment_fn)
+
+
+def make_host_batch_prep(erasing: float = 0.0, mixup: float = 0.0,
+                         cutmix: float = 0.0, mix_before_aug: bool = True):
+    """Device-side remainder for ``augment_backend: host``: the loader has
+    already flipped / (mixed) / RandAugmented on CPU threads; the device
+    does normalize + RandomErasing (and, for mix_before_aug=False, the
+    tensor-path mix LAST — reference factory.py:184-190 ordering)."""
+
+    def prep(key, images, label1, label2, ratio):
+        x = ops.normalize(images.astype(jax.numpy.float32))
+        k_erase, k_mix = jax.random.split(key)
+        if erasing > 0:
+            x = ops.random_erasing(k_erase, x, p=erasing, mode="pixel")
+        if not mix_before_aug and (mixup > 0 or cutmix > 0):
+            x, label1, label2, ratio = ops.mix_batch(k_mix, x, label1,
+                                                     mixup, cutmix)
+        return {"image": x, "label1": label1, "label2": label2, "ratio": ratio}
+
+    return jax.jit(prep)
 
 
 def make_valid_prep():

@@ -91,7 +91,8 @@ def _make_stage_loaders(conf: ImageNetConfig, settings) -> Tuple[Callable, Calla
         )
 
     if backend == "records":
-        from ..data.pipeline import HostLoader, make_device_augment, make_valid_prep
+        from ..data.pipeline import (HostLoader, make_device_augment,
+                                     make_host_batch_prep, make_valid_prep)
         from ..data.records import RecordDataset
 
         train_ds = RecordDataset(os.path.join(conf.dataset_path, "train"))
@@ -100,30 +101,60 @@ def _make_stage_loaders(conf: ImageNetConfig, settings) -> Tuple[Callable, Calla
         valid_ds = RecordDataset(os.path.join(conf.dataset_path, valid_name))
 
         workers = training.dataloader.num_workers
+        host_backend = training.augment_backend == "host"
+        host_augment = None
+        if host_backend:
+            host_augment = {"hflip": True}
+            if training.mix_before_aug and (settings.mixup > 0 or settings.cutmix > 0):
+                host_augment["mix"] = {"mixup": settings.mixup,
+                                       "cutmix": settings.cutmix}
+            if settings.randaug_layer > 0:
+                host_augment["randaug"] = {
+                    "n_augment": settings.randaug_layer,
+                    "magnitude": settings.randaug_magnitude,
+                    "increasing": training.randaug_increasing,
+                    "magnitude_std": training.randaug_magnitude_std,
+                    "cutout": training.randaug_cutout,
+                }
         train_loader = HostLoader(train_ds, batch, settings.train_size, train=True,
-                                  num_workers=workers, seed=conf.seed)
+                                  num_workers=workers, seed=conf.seed,
+                                  host_augment=host_augment)
         valid_loader = HostLoader(valid_ds, batch, settings.valid_size, train=False,
                                   num_workers=workers, drop_last=False)
 
-        augment = make_device_augment(
-            settings.train_size,
-            randaug_layer=settings.randaug_layer,
-            randaug_magnitude=settings.randaug_magnitude,
-            randaug_increasing=training.randaug_increasing,
-            randaug_magnitude_std=training.randaug_magnitude_std,
-            randaug_cutout=training.randaug_cutout,
-            erasing=training.erasing,
-            mixup=settings.mixup,
-            cutmix=settings.cutmix,
-            mix_before_aug=training.mix_before_aug,
-        )
+        if host_backend:
+            augment = make_host_batch_prep(
+                erasing=training.erasing, mixup=settings.mixup,
+                cutmix=settings.cutmix, mix_before_aug=training.mix_before_aug)
+        else:
+            augment = make_device_augment(
+                settings.train_size,
+                randaug_layer=settings.randaug_layer,
+                randaug_magnitude=settings.randaug_magnitude,
+                randaug_increasing=training.randaug_increasing,
+                randaug_magnitude_std=training.randaug_magnitude_std,
+                randaug_cutout=training.randaug_cutout,
+                erasing=training.erasing,
+                mixup=settings.mixup,
+                cutmix=settings.cutmix,
+                mix_before_aug=training.mix_before_aug,
+            )
         valid_prep = make_valid_prep()
         aug_key = jax.random.PRNGKey(conf.seed + 17)
 
         def train_iter(epoch: int):
             for i, hb in enumerate(train_loader.epoch(epoch)):
                 key = jax.random.fold_in(jax.random.fold_in(aug_key, epoch), i)
-                yield augment(key, jnp.asarray(hb["image"]), jnp.asarray(hb["label"]))
+                if host_backend:
+                    labels = jnp.asarray(hb["label"])
+                    label2 = jnp.asarray(hb.get("label2", hb["label"]))
+                    ratio = jnp.asarray(hb.get("ratio",
+                                               np.ones(batch, np.float32)))
+                    yield augment(key, jnp.asarray(hb["image"]), labels,
+                                  label2, ratio)
+                else:
+                    yield augment(key, jnp.asarray(hb["image"]),
+                                  jnp.asarray(hb["label"]))
 
         def valid_iter():
             for hb in valid_loader.epoch(0):
