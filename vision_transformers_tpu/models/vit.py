@@ -51,7 +51,8 @@ class MultiHeadedAttention(nn.Module):
         scale = 1.0 / math.sqrt(dim_head)
         from .. import ops as _ops
 
-        if _ops.fused_attention_enabled(b) and (deterministic or self.dropout == 0.0):
+        if _ops.fused_attention_enabled(b, seq=n) and \
+                (deterministic or self.dropout == 0.0):
             # Pallas packed-qkv kernel: reads the projection output [b,n,3hd]
             # untouched and writes [b,n,hd] — no HBM relayout on either side
             # of the custom call

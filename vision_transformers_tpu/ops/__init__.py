@@ -27,6 +27,10 @@ _INTERPRET: bool = False
 # below this per-call batch the einsum path stays VMEM-resident and wins
 # (measured on v5e, PERF.md)
 _AUTO_MIN_BATCH = 32
+# below this sequence length the kernel's per-problem dots are too small for
+# the MXU and einsum wins (measured: 197-token ViT wins fused, 37-token DINO
+# local crops and 49/98-token Swin windows win einsum)
+_AUTO_MIN_SEQ = 128
 
 
 def set_fused_attention(enabled: Optional[bool], interpret: bool = False) -> None:
@@ -51,13 +55,14 @@ def fused_attention_qkv(qkv, n_head, extra=None, scale=None):
 
 
 def fused_attention_enabled(batch: Optional[int] = None,
-                            default: bool = True) -> bool:
+                            default: bool = True,
+                            seq: Optional[int] = None) -> bool:
     """Dispatch decision for one attention call site.
 
-    ``batch``: the call's leading batch dim (static at trace time) — AUTO
-    keeps einsum below ``_AUTO_MIN_BATCH``.  ``default``: the call site's
-    measured default when no override is active (ViT: True; sites without a
-    measured win pass False).
+    ``batch``/``seq``: the call's leading batch dim and token count (static
+    at trace time) — AUTO keeps einsum below ``_AUTO_MIN_BATCH`` /
+    ``_AUTO_MIN_SEQ``.  ``default``: the call site's measured default when no
+    override is active (ViT: True; sites without a measured win pass False).
     """
     if _FORCED is not None:
         return _FORCED
@@ -71,5 +76,7 @@ def fused_attention_enabled(batch: Optional[int] = None,
         # (tests opt into the kernel via set_fused_attention(interpret=True))
         return False
     if batch is not None and batch < _AUTO_MIN_BATCH:
+        return False
+    if seq is not None and seq < _AUTO_MIN_SEQ:
         return False
     return default
