@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""A/B/C bench: full train step with each attention implementation
+(einsum / fused / block) for ViT-S/16 or Swin-S.
+
+Usage: python scripts/bench_impls.py {vit|swin} [--impls a,b,c] [--batches n,n]
+
+Timing per the axon-relay methodology (PERF.md): chained donated steps, one
+hard fetch, measured round-trip subtracted, best-of-3 windows.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ARCHS = {
+    "vit": {"type": "vit", "image_size": 224, "window_size": 16,
+            "n_class": 1000, "depth": 12, "dim": 384, "n_head": 6,
+            "dim_ff": 1536},
+    "swin": {"type": "swin_transformer", "image_size": 224, "n_class": 1000,
+             "depths": [2, 2, 18, 2], "dims": [96, 192, 384, 768],
+             "dim_head": 32, "n_heads": [3, 6, 12, 24],
+             "dim_ffs": [384, 768, 1536, 3072], "window_size": 7},
+}
+
+
+def bench_step(arch: str, batches, impl: str):
+    from vision_transformers_tpu import ops
+    from vision_transformers_tpu.config import registry
+    from vision_transformers_tpu.parallel import mesh as meshlib
+    from vision_transformers_tpu.train import engine
+    from vision_transformers_tpu.train.optim import make_optimizer
+    from vision_transformers_tpu.config.schema import Training
+
+    ops.set_attention_impl(impl)
+    n_chips = len(jax.devices())
+    mesh = meshlib.make_mesh()
+    model = registry.build("model", ARCHS[arch]).make(dtype=jnp.bfloat16)
+    train_conf = Training(
+        optimizer={"type": "adamw", "lr": 1e-3},
+        scheduler={"type": "constant", "lr": 1e-3},
+        base_lr=1e-3, weight_decay=0.05, wd_skip="vit", epoch=1,
+        clip_grad_norm=5.0,
+    )
+    rng = jax.random.PRNGKey(0)
+    shape = (2, 224, 224, 3)
+    results = {}
+    with mesh:
+        params_shape = jax.eval_shape(lambda: model.init(rng, jnp.zeros(shape)))["params"]
+        tx = make_optimizer(train_conf, params_shape, lambda c: 1e-3)
+
+        trivial = jax.jit(lambda a: a + 1)
+        z = trivial(jnp.zeros(()))
+        _ = float(z)
+        t0 = time.perf_counter()
+        _ = float(trivial(z))
+        round_trip = time.perf_counter() - t0
+
+        for batch in batches:
+            batch = batch * n_chips
+            state = engine.create_train_state(rng, model, shape, tx)
+            state = jax.device_put(state, meshlib.replicated(mesh))
+            train_step = jax.jit(engine.make_train_step(model, tx),
+                                 donate_argnums=(0,))
+            host = {
+                "image": np.random.default_rng(0).normal(
+                    size=(batch, 224, 224, 3)).astype(np.float32),
+                "label1": np.random.default_rng(1).integers(0, 1000, batch).astype(np.int32),
+                "label2": np.random.default_rng(2).integers(0, 1000, batch).astype(np.int32),
+                "ratio": np.ones(batch, np.float32),
+            }
+            sharded = meshlib.shard_batch(mesh, host)
+            state, m = train_step(state, sharded, rng)
+            _ = float(m["loss"])
+
+            n_iter = max(10, 2048 // batch)
+            dt = float("inf")
+            for _w in range(3):
+                t0 = time.perf_counter()
+                for _ in range(n_iter):
+                    state, m = train_step(state, sharded, rng)
+                _ = float(m["loss"])
+                dt = min(dt, time.perf_counter() - t0 - round_trip)
+            ips = batch * n_iter / dt / n_chips
+            results[batch // n_chips] = round(ips, 1)
+            print(f"{arch} impl={impl} batch/chip={batch // n_chips}: "
+                  f"{ips:.1f} img/s/chip ({dt / n_iter * 1000:.1f} ms/step)",
+                  flush=True)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("arch", choices=list(ARCHS))
+    ap.add_argument("--impls", default="einsum,block")
+    ap.add_argument("--batches", default="64,128")
+    args = ap.parse_args()
+    batches = [int(x) for x in args.batches.split(",")]
+    out = {}
+    for impl in args.impls.split(","):
+        out[impl] = bench_step(args.arch, batches, impl)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,8 @@ __all__ = [
     "FeedForward",
     "LayerNorm",
     "trunc_normal_init",
+    "DenseParams",
+    "dense_apply",
 ]
 
 Dtype = Any
@@ -92,6 +94,39 @@ def trunc_normal_init(std: float = 0.02):
 
 
 LayerNorm = nn.LayerNorm  # eps set per call site; reference uses 1e-6 for ViT
+
+
+class DenseParams(nn.Module):
+    """Parameter container with ``nn.Dense``'s exact param tree
+    ({kernel, bias} under this module's name) so checkpoints and torch
+    parity maps stay layout-identical whether the call site computes
+    through a plain matmul (:func:`dense_apply`) or hands the raw weights
+    to a fused Pallas kernel (ops/fused_block.py)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32) if self.use_bias else None
+        return kernel, bias
+
+
+def dense_apply(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array],
+                dtype) -> jax.Array:
+    """``nn.Dense.__call__``'s math on raw params (promote to compute dtype,
+    contract last axis, add bias)."""
+    y = jax.lax.dot_general(
+        x.astype(dtype), kernel.astype(dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+    )
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
 
 
 class WSConv(nn.Module):

@@ -35,7 +35,8 @@ import numpy as np
 from flax import linen as nn
 
 from ..config.registry import TypedConfig, register
-from .layers import FeedForward, drop_path as drop_path_fn, trunc_normal_init, tuple2
+from .layers import (DenseParams, FeedForward, dense_apply,
+                     drop_path as drop_path_fn, trunc_normal_init, tuple2)
 
 Dtype = Any
 
@@ -147,62 +148,76 @@ class WindowAttention(nn.Module):
         from .. import ops as _ops
 
         roll = window // 2
-        use_fused = _ops.fused_attention_enabled(b, default=False) and \
-            (deterministic or self.dropout == 0.0)
+        impl = _ops.attention_impl(b, seq=w2, default="einsum")
+        if not (deterministic or self.dropout == 0.0):
+            impl = "einsum"  # attention dropout needs materialized probs
 
-        if use_fused:
-            # TPU path: window-MAJOR partition BEFORE the projections, so the
-            # qkv Dense emits tokens-in-sublanes [G·b, tokens, 3·inner] that
-            # the flat Pallas kernel (ops.fused_attention_qkv) reads with
-            # zero relayouts; the per-window rel-pos bias + shift mask ride
-            # in as a GROUPED extra (one [head, m, m] slab per window group).
-            # Window PAIRS are folded into the partition reshape (49 → 98
-            # tokens ≤ 128 lanes, block-diagonal mask): a [98,·]·[·,98] MXU
-            # pass costs the same as a [49,·]·[·,49] one, halving the number
-            # of attention dots for free (reference hot kernel:
-            # models/swin_transformer.py:103-160).
-            if self.shift:
-                x = jnp.roll(x, (-roll, -roll), (1, 2))
-            pack = 2 if (ws % 2 == 0 and 2 * w2 <= 128) else 1
-            m_tok = pack * w2
-            groups = n_win // pack
+        # raw Dense params (same {weight,linear}/{kernel,bias} tree as
+        # nn.Dense) so the block kernel can take the weights VMEM-resident
+        wqkv, bqkv = DenseParams(inner * 3,
+                                 kernel_init=trunc_normal_init(0.02),
+                                 name="weight")(dim)
+        wout, bout = DenseParams(dim, kernel_init=trunc_normal_init(0.02),
+                                 name="linear")(inner)
 
+        # Window PAIRS are folded into the partition reshape (49 → 98 tokens
+        # ≤ 128 lanes, block-diagonal bias): a [98,·]·[·,98] MXU pass costs
+        # the same as a [49,·]·[·,49] one, halving the number of attention
+        # dots for free (reference hot kernel: swin_transformer.py:103-160).
+        pack = 2 if (ws % 2 == 0 and 2 * w2 <= 128) else 1
+        m_tok = pack * w2
+        groups = n_win // pack
+
+        def packed_slab():
+            """[head, m, m] rel-pos bias, block-diagonal when packed."""
+            if pack == 1:
+                return bias
+            neg = jnp.full((self.n_head, w2, w2), -1e9, jnp.float32)
+            return jnp.concatenate([
+                jnp.concatenate([bias, neg], axis=-1),
+                jnp.concatenate([neg, bias], axis=-1),
+            ], axis=-2)  # [head, 2w², 2w²]
+
+        def packed_shift_mask():
+            """np [groups, m, m] additive shift mask in pack order."""
+            m = shifted_window_mask((h, w), window)  # [n_win, w², w²]
+            m = m.reshape(hs, ws // pack, pack, w2, w2)
+            pm = np.zeros((hs, ws // pack, m_tok, m_tok), np.float32)
+            pm[:, :, :w2, :w2] = m[:, :, 0]
+            if pack > 1:
+                pm[:, :, w2:, w2:] = m[:, :, 1]
+            return pm.reshape(groups, m_tok, m_tok)
+
+        if self.shift:
+            x = jnp.roll(x, (-roll, -roll), (1, 2))
+
+        if impl in ("fused", "block"):
+            # TPU kernel path: window-MAJOR partition BEFORE the projections
+            # so tokens sit in sublanes ([G·b, m_tok, C]) and the kernels see
+            # their native layout; the per-window rel-pos bias + shift mask
+            # ride in as a GROUPED extra (one [head, m, m] slab per group).
             # [b,H,W,C] → [hs, ws/pack, b, pack, wy, wx, C] → [G·b, m_tok, C]
             xw = x.reshape(b, hs, window, ws // pack, pack, window, dim)
             xw = xw.transpose(1, 3, 0, 4, 2, 5, 6)
             xw = xw.reshape(groups * b, m_tok, dim)
 
-            qkv = nn.Dense(inner * 3, dtype=self.dtype,
-                           kernel_init=trunc_normal_init(0.02), name="weight")(xw)
-
-            # grouped extra [G, head, m, m]: rel-pos bias on the diagonal
-            # blocks (shared), −1e9 off-diagonal, plus the per-window shift
-            # mask
-            if pack > 1:
-                neg = jnp.full((self.n_head, w2, w2), -1e9, jnp.float32)
-                slab = jnp.concatenate([
-                    jnp.concatenate([bias, neg], axis=-1),
-                    jnp.concatenate([neg, bias], axis=-1),
-                ], axis=-2)  # [head, 2w², 2w²]
-            else:
-                slab = bias
-            extra = jnp.broadcast_to(slab[None], (groups, self.n_head, m_tok, m_tok))
+            extra = jnp.broadcast_to(packed_slab()[None],
+                                     (groups, self.n_head, m_tok, m_tok))
             if self.shift:
-                m = shifted_window_mask((h, w), window)  # np [n_win, w², w²]
-                # window order after the pack reshape: (hs, ws/pack, pack)
-                m = m.reshape(hs, ws // pack, pack, w2, w2)
-                pm = np.zeros((hs, ws // pack, m_tok, m_tok), np.float32)
-                pm[:, :, :w2, :w2] = m[:, :, 0]
-                if pack > 1:
-                    pm[:, :, w2:, w2:] = m[:, :, 1]
-                extra = extra + jnp.asarray(pm.reshape(groups, 1, m_tok, m_tok))
+                extra = extra + jnp.asarray(packed_shift_mask()[:, None])
 
-            out = _ops.fused_attention_qkv(qkv, self.n_head, extra, scale)
+            if impl == "block":
+                # whole-block kernel: qkv projection + attention + out
+                # projection in one Pallas program, weights VMEM-resident
+                out = _ops.fused_attention_block(
+                    xw, wqkv.astype(self.dtype), bqkv.astype(self.dtype),
+                    wout.astype(self.dtype), bout.astype(self.dtype),
+                    self.n_head, extra, scale)
+            else:
+                qkv = dense_apply(xw, wqkv, bqkv, self.dtype)
+                out = _ops.fused_attention_qkv(qkv, self.n_head, extra, scale)
+                out = dense_apply(out, wout, bout, self.dtype)
 
-            # out projection is token-pointwise — apply in window layout,
-            # then de-partition the C-sized features once
-            out = nn.Dense(dim, dtype=self.dtype,
-                           kernel_init=trunc_normal_init(0.02), name="linear")(out)
             out = out.reshape(hs, ws // pack, b, pack, window, window, dim)
             out = out.transpose(2, 0, 4, 1, 3, 5, 6).reshape(b, h, w, dim)
 
@@ -210,48 +225,23 @@ class WindowAttention(nn.Module):
                 out = jnp.roll(out, (roll, roll), (1, 2))
             return out
 
-        # einsum path — ALSO window-pair packed where shapes allow: batching
-        # two 49-token windows into one 98-token block-diagonal attention
-        # halves the number of tiny MXU dots for the same pass cost
-        # (isolated v5e measurement: stage-3 fwd+bwd 1.5 ms packed vs
-        # 2.83 ms unpacked per layer — PERF.md round 2)
-        if self.shift:
-            x = jnp.roll(x, (-roll, -roll), (1, 2))
-
-        pack = 2 if (ws % 2 == 0 and 2 * w2 <= 128) else 1
-        m_tok = pack * w2
-        n_grp = n_win // pack
-
-        qkv = nn.Dense(inner * 3, dtype=self.dtype,
-                       kernel_init=trunc_normal_init(0.02), name="weight")(x)
+        # einsum path — ALSO window-pair packed (isolated v5e measurement:
+        # stage-3 fwd+bwd 1.5 ms packed vs 2.83 ms unpacked per layer —
+        # PERF.md round 2)
+        qkv = dense_apply(x, wqkv, bqkv, self.dtype)
         qkv = qkv.reshape(b, hs, window, ws // pack, pack, window, 3,
                           self.n_head, self.dim_head)
         # [b, S/pack, 3, head, pack·w², d], token order (pair, wy, wx)
         qkv = qkv.transpose(0, 1, 3, 6, 7, 4, 2, 5, 8).reshape(
-            b, n_grp, 3, self.n_head, m_tok, self.dim_head
+            b, groups, 3, self.n_head, m_tok, self.dim_head
         )
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        if pack > 1:
-            neg = jnp.full((self.n_head, w2, w2), -1e9, jnp.float32)
-            slab = jnp.concatenate([
-                jnp.concatenate([bias, neg], axis=-1),
-                jnp.concatenate([neg, bias], axis=-1),
-            ], axis=-2)  # block-diagonal bias, off-diagonal masked
-        else:
-            slab = bias
-
         score = jnp.einsum("bshqd,bshkd->bshqk", q, k) * scale
-        score = score + slab.astype(score.dtype)[None, None]
+        score = score + packed_slab().astype(score.dtype)[None, None]
         if self.shift:
-            m = shifted_window_mask((h, w), window)  # static [S, w², w²]
-            m = m.reshape(hs, ws // pack, pack, w2, w2)
-            pm = np.zeros((hs, ws // pack, m_tok, m_tok), np.float32)
-            pm[:, :, :w2, :w2] = m[:, :, 0]
-            if pack > 1:
-                pm[:, :, w2:, w2:] = m[:, :, 1]
             score = score + jnp.asarray(
-                pm.reshape(n_grp, m_tok, m_tok)[None, :, None], score.dtype)
+                packed_shift_mask()[None, :, None], score.dtype)
         attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bshqk,bshkd->bshqd", attn, v)
@@ -259,8 +249,7 @@ class WindowAttention(nn.Module):
         out = out.reshape(b, hs, ws // pack, self.n_head, pack, window, window,
                           self.dim_head)
         out = out.transpose(0, 1, 5, 2, 4, 6, 3, 7).reshape(b, h, w, inner)
-        out = nn.Dense(dim, dtype=self.dtype,
-                       kernel_init=trunc_normal_init(0.02), name="linear")(out)
+        out = dense_apply(out, wout, bout, self.dtype)
 
         if self.shift:
             out = jnp.roll(out, (roll, roll), (1, 2))

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config.registry import TypedConfig, register
-from .layers import FeedForward, drop_path, trunc_normal_init, tuple2
+from .layers import (DenseParams, FeedForward, dense_apply, drop_path,
+                     trunc_normal_init, tuple2)
 
 Dtype = Any
 
@@ -44,18 +45,33 @@ class MultiHeadedAttention(nn.Module):
         b, n, dim = x.shape
         dim_head = dim // self.n_head
 
-        qkv = nn.Dense(
-            dim * 3, use_bias=self.use_bias, dtype=self.dtype,
-            kernel_init=trunc_normal_init(0.02), name="qkv",
-        )(x)
+        # raw Dense params ({qkv,linear}/{kernel,bias} — the exact nn.Dense
+        # tree) so the block kernel can take the weights VMEM-resident
+        wqkv, bqkv = DenseParams(
+            dim * 3, use_bias=self.use_bias,
+            kernel_init=trunc_normal_init(0.02), name="qkv")(dim)
+        wout, bout = DenseParams(
+            dim, kernel_init=trunc_normal_init(0.02), name="linear")(dim)
         scale = 1.0 / math.sqrt(dim_head)
         from .. import ops as _ops
 
-        if _ops.fused_attention_enabled(b, seq=n) and \
-                (deterministic or self.dropout == 0.0):
-            # Pallas packed-qkv kernel: reads the projection output [b,n,3hd]
+        impl = _ops.attention_impl(b, seq=n, default="fused")
+        if not (deterministic or self.dropout == 0.0):
+            impl = "einsum"  # attention dropout needs materialized probs
+
+        if impl == "block":
+            # whole-block Pallas kernel: qkv projection + attention + out
+            # projection fused, weights VMEM-resident across the batch grid
+            return _ops.fused_attention_block(
+                x, wqkv.astype(self.dtype),
+                None if bqkv is None else bqkv.astype(self.dtype),
+                wout.astype(self.dtype), bout.astype(self.dtype),
+                self.n_head, None, scale)
+
+        qkv = dense_apply(x, wqkv, bqkv, self.dtype)
+        if impl == "fused":
+            # packed-qkv kernel: reads the projection output [b,n,3hd]
             # untouched and writes [b,n,hd] — no HBM relayout on either side
-            # of the custom call
             out = _ops.fused_attention_qkv(qkv, self.n_head, None, scale)
         else:
             qkv = qkv.reshape(b, n, 3, self.n_head, dim_head)
@@ -64,9 +80,7 @@ class MultiHeadedAttention(nn.Module):
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
             attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, dim)
-        return nn.Dense(
-            dim, dtype=self.dtype, kernel_init=trunc_normal_init(0.02), name="linear"
-        )(out)
+        return dense_apply(out, wout, bout, self.dtype)
 
 
 class TransformerLayer(nn.Module):

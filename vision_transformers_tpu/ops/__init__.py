@@ -1,17 +1,21 @@
 """TPU kernels (Pallas) and the dispatch switch.
 
-``fused_attention_enabled()`` decides whether attention modules route through
-the Pallas fused kernel (ops/fused_attention.py) or the XLA einsum path:
+Three attention implementations (PERF.md rounds 1-2):
 
-- env ``VTX_FUSED_ATTENTION=1|0`` forces it on/off
-- default: measurement-driven AUTO (PERF.md round 2).  The round-2
-  ``fused_attention_qkv`` entry reads the qkv projection output in its
-  native [B, N, 3·H·D] layout (no relayout on either side of the custom
-  call) and beats the einsum path in the full ViT-S train step on v5e
-  (3552 vs 2500 img/s/chip at 256/chip; 3558 vs 3519 at 64/chip).  At tiny
-  per-chip batches (<32) the einsum path's activations stay VMEM-resident
-  and still win by ~3%, so AUTO dispatches on the batch size the caller
-  passes.
+- ``einsum``: XLA batched einsums — wins at tiny per-chip batches (<32,
+  activations stay VMEM-resident) and very short sequences
+- ``fused``: ops/fused_attention.py ``fused_attention_qkv`` — reads the qkv
+  projection output in its native [B, N, 3·H·D] layout (no relayout on
+  either side of the custom call); beats einsum in the full ViT-S train
+  step on v5e (3552 vs 2500 img/s/chip at 256/chip)
+- ``block``: ops/fused_block.py — the whole attention block (qkv projection
+  + MHSA + out projection) as ONE kernel with VMEM-resident weights; one
+  HBM read of x and one write of the output per layer
+
+Dispatch: env ``VTX_ATTN_IMPL=einsum|fused|block`` forces globally
+(legacy ``VTX_FUSED_ATTENTION=1|0`` maps to fused/einsum); otherwise
+measurement-driven AUTO keyed on the call's batch/sequence, with per-site
+measured defaults passed by the model code.
 """
 
 from __future__ import annotations
@@ -20,63 +24,92 @@ import os
 from typing import Optional
 
 from . import fused_attention as fused_attention_mod  # noqa: F401
+from . import fused_block as fused_block_mod  # noqa: F401
 
-_FORCED: Optional[bool] = None
+_FORCED: Optional[str] = None
 _INTERPRET: bool = False
 
 # below this per-call batch the einsum path stays VMEM-resident and wins
 # (measured on v5e, PERF.md)
 _AUTO_MIN_BATCH = 32
-# below this sequence length the kernel's per-problem dots are too small for
-# the MXU and einsum wins (measured: 197-token ViT wins fused, 37-token DINO
-# local crops and 49/98-token Swin windows win einsum)
+# below this sequence length per-problem dots are too small for the MXU and
+# einsum wins for the standalone fused kernel (197-token ViT wins fused,
+# 37-token DINO local crops win einsum); the block kernel has its own
+# measured defaults passed per call site
 _AUTO_MIN_SEQ = 128
 
 
 def set_fused_attention(enabled: Optional[bool], interpret: bool = False) -> None:
-    """Force the fused-attention path on/off (None = auto).  ``interpret``
-    runs the kernel in Pallas interpret mode (CPU testing)."""
+    """Legacy test/bench switch: force the fused-attention path on/off
+    (None = auto).  ``interpret`` runs kernels in Pallas interpret mode."""
+    set_attention_impl(None if enabled is None else
+                       ("fused" if enabled else "einsum"), interpret)
+
+
+def set_attention_impl(impl: Optional[str], interpret: bool = False) -> None:
+    """Force the attention implementation: "einsum" | "fused" | "block";
+    None = measurement-driven auto.  ``interpret`` runs the Pallas kernels
+    in interpret mode (CPU testing)."""
     global _FORCED, _INTERPRET
-    _FORCED = enabled
+    assert impl in (None, "einsum", "fused", "block"), impl
+    _FORCED = impl
     _INTERPRET = interpret
 
 
 def fused_attention(q, k, v, extra=None, scale=None):
-    """Model-facing entry: dispatches to the Pallas kernel, honoring the
-    interpret-mode test switch."""
+    """Grouped-layout Pallas kernel ([B,G,M,D]), honoring the interpret-mode
+    test switch."""
     return fused_attention_mod.fused_attention(q, k, v, extra, scale, _INTERPRET)
 
 
 def fused_attention_qkv(qkv, n_head, extra=None, scale=None):
     """Packed-qkv self-attention ([B,N,3·H·D] → [B,N,H·D]) — the
-    zero-relayout entry used by ViT (see ops/fused_attention.py)."""
+    zero-relayout entry (see ops/fused_attention.py)."""
     return fused_attention_mod.fused_attention_qkv(qkv, n_head, extra, scale,
                                                    _INTERPRET)
+
+
+def fused_attention_block(x, wqkv, bqkv, wout, bout, n_head, extra=None,
+                          scale=None):
+    """Whole-block kernel: qkv projection + MHSA + out projection
+    (see ops/fused_block.py)."""
+    return fused_block_mod.fused_attention_block(
+        x, wqkv, bqkv, wout, bout, n_head, extra, scale, _INTERPRET)
+
+
+def attention_impl(batch: Optional[int] = None, seq: Optional[int] = None,
+                   default: str = "einsum") -> str:
+    """Implementation decision for one attention call site.
+
+    ``batch``/``seq``: the call's leading batch dim and token count (static
+    at trace time).  ``default``: the site's measured winner on TPU when no
+    override is active.  Returns "einsum" | "fused" | "block".
+    """
+    if _FORCED is not None:
+        return _FORCED
+    env = os.environ.get("VTX_ATTN_IMPL")
+    if env in ("einsum", "fused", "block"):
+        return env
+    env = os.environ.get("VTX_FUSED_ATTENTION")
+    if env is not None:
+        return "einsum" if env in ("0", "false", "off") else "fused"
+    import jax
+
+    if jax.default_backend() != "tpu":
+        # Mosaic kernels only compile for TPU; CPU/GPU take the einsum path
+        # (tests opt into kernels via set_attention_impl(..., interpret=True))
+        return "einsum"
+    if default == "fused":
+        if batch is not None and batch < _AUTO_MIN_BATCH:
+            return "einsum"
+        if seq is not None and seq < _AUTO_MIN_SEQ:
+            return "einsum"
+    return default
 
 
 def fused_attention_enabled(batch: Optional[int] = None,
                             default: bool = True,
                             seq: Optional[int] = None) -> bool:
-    """Dispatch decision for one attention call site.
-
-    ``batch``/``seq``: the call's leading batch dim and token count (static
-    at trace time) — AUTO keeps einsum below ``_AUTO_MIN_BATCH`` /
-    ``_AUTO_MIN_SEQ``.  ``default``: the call site's measured default when no
-    override is active (ViT: True; sites without a measured win pass False).
-    """
-    if _FORCED is not None:
-        return _FORCED
-    env = os.environ.get("VTX_FUSED_ATTENTION")
-    if env is not None:
-        return env not in ("0", "false", "off")
-    import jax
-
-    if jax.default_backend() != "tpu":
-        # Mosaic kernels only compile for TPU; CPU/GPU take the einsum path
-        # (tests opt into the kernel via set_fused_attention(interpret=True))
-        return False
-    if batch is not None and batch < _AUTO_MIN_BATCH:
-        return False
-    if seq is not None and seq < _AUTO_MIN_SEQ:
-        return False
-    return default
+    """Legacy boolean view of :func:`attention_impl` (fused vs einsum)."""
+    return attention_impl(batch, seq,
+                          "fused" if default else "einsum") == "fused"
