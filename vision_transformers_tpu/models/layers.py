@@ -45,6 +45,8 @@ __all__ = [
     "trunc_normal_init",
     "DenseParams",
     "dense_apply",
+    "LayerNormParams",
+    "layer_norm_apply",
 ]
 
 Dtype = Any
@@ -127,6 +129,31 @@ def dense_apply(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array],
     if bias is not None:
         y = y + bias.astype(dtype)
     return y
+
+
+class LayerNormParams(nn.Module):
+    """Parameter container with ``nn.LayerNorm``'s param tree
+    ({scale, bias}) — see :class:`DenseParams` for why."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        return scale, bias
+
+
+def layer_norm_apply(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                     eps: float, dtype) -> jax.Array:
+    """``nn.LayerNorm.__call__``'s math on raw params: f32 statistics,
+    fast variance, scale folded into the rsqrt multiplier (flax
+    normalization.py semantics)."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = (xf * xf).mean(-1, keepdims=True) - mu * mu
+    mul = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    return ((xf - mu) * mul + bias.astype(jnp.float32)).astype(dtype)
 
 
 class WSConv(nn.Module):
@@ -274,11 +301,37 @@ class FeedForward(nn.Module):
     kernel_init: Callable = trunc_normal_init(0.02)
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, ln=None, row_scale=None):
+        """``ln=(scale, bias, eps)`` switches to the fused layer-half kernel
+        computing ``x + row_scale ⊙ FF(LN(x))`` in one Pallas program
+        (ops/fused_layer.py); requires dropout == 0 and a silu/gelu
+        activation.  ``row_scale``: optional per-sample [B] DropPath scale."""
         in_dim = x.shape[-1]
         dim = self.dim or in_dim
         out_dim = self.out_dim or in_dim
-        h = nn.Dense(dim, dtype=self.dtype, kernel_init=self.kernel_init, name="fc1")(x)
+        w1, b1 = DenseParams(dim, kernel_init=self.kernel_init, name="fc1")(in_dim)
+        w2, b2 = DenseParams(out_dim, kernel_init=self.kernel_init, name="fc2")(dim)
+
+        if ln is not None:
+            act = {jax.nn.silu: "silu", jax.nn.gelu: "gelu"}.get(self.activation)
+            assert act is not None and self.dropout == 0.0 and out_dim == in_dim, \
+                "fused FF layer needs silu/gelu, no dropout, square dims"
+            from .. import ops as _ops
+
+            g, bb, eps = ln
+            shape = x.shape
+            if x.ndim != 3:  # token-pointwise: any [B', N, C] split works
+                x = x.reshape(-1, shape[-2], in_dim)
+                if row_scale is not None:
+                    # rows become (sample, leading-token-dim) pairs
+                    row_scale = jnp.repeat(row_scale, x.shape[0] // shape[0])
+            out = _ops.fused_ff_layer(
+                x, g, bb, w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype), act,
+                row_scale, eps)
+            return out.reshape(shape)
+
+        h = dense_apply(x, w1, b1, self.dtype)
         h = self.activation(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.Dense(out_dim, dtype=self.dtype, kernel_init=self.kernel_init, name="fc2")(h)
+        return dense_apply(h, w2, b2, self.dtype)

@@ -35,8 +35,9 @@ import numpy as np
 from flax import linen as nn
 
 from ..config.registry import TypedConfig, register
-from .layers import (DenseParams, FeedForward, dense_apply,
-                     drop_path as drop_path_fn, trunc_normal_init, tuple2)
+from .layers import (DenseParams, FeedForward, LayerNormParams, dense_apply,
+                     drop_path as drop_path_fn, layer_norm_apply,
+                     trunc_normal_init, tuple2)
 
 Dtype = Any
 
@@ -128,7 +129,11 @@ class WindowAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, ln=None, row_scale=None):
+        """``ln=(scale, bias, eps)`` switches to the fused layer-half kernel
+        and returns the FULL residual branch ``x + row_scale ⊙ Attn(LN(x))``
+        computed in one Pallas program per window group (ops/fused_layer.py);
+        without ``ln`` returns just the attention output as before."""
         b, h, w, dim = x.shape
         window = self.window_size
         hs, ws = h // window, w // window
@@ -148,9 +153,14 @@ class WindowAttention(nn.Module):
         from .. import ops as _ops
 
         roll = window // 2
-        impl = _ops.attention_impl(b, seq=w2, default="einsum")
-        if not (deterministic or self.dropout == 0.0):
-            impl = "einsum"  # attention dropout needs materialized probs
+        if ln is not None:
+            impl = "layer"
+        else:
+            impl = _ops.attention_impl(b, seq=w2, default="einsum")
+            if impl == "layer":
+                impl = "einsum"  # layer fusion is driven by SwinLayer via ln
+            if not (deterministic or self.dropout == 0.0):
+                impl = "einsum"  # attention dropout needs materialized probs
 
         # raw Dense params (same {weight,linear}/{kernel,bias} tree as
         # nn.Dense) so the block kernel can take the weights VMEM-resident
@@ -191,7 +201,7 @@ class WindowAttention(nn.Module):
         if self.shift:
             x = jnp.roll(x, (-roll, -roll), (1, 2))
 
-        if impl in ("fused", "block"):
+        if impl in ("fused", "block", "layer"):
             # TPU kernel path: window-MAJOR partition BEFORE the projections
             # so tokens sit in sublanes ([G·b, m_tok, C]) and the kernels see
             # their native layout; the per-window rel-pos bias + shift mask
@@ -206,7 +216,19 @@ class WindowAttention(nn.Module):
             if self.shift:
                 extra = extra + jnp.asarray(packed_shift_mask()[:, None])
 
-            if impl == "block":
+            if impl == "layer":
+                # whole pre-LN residual branch in one kernel; LN, residual
+                # and the DropPath row scale are all token-pointwise, so
+                # they commute with the roll/partition permutation
+                g_ln, b_ln, eps = ln
+                rs_rows = None if row_scale is None \
+                    else jnp.tile(row_scale, groups)
+                out = _ops.fused_attention_layer(
+                    xw, g_ln, b_ln, wqkv.astype(self.dtype),
+                    bqkv.astype(self.dtype), wout.astype(self.dtype),
+                    bout.astype(self.dtype), self.n_head, extra, rs_rows,
+                    scale, eps)
+            elif impl == "block":
                 # whole-block kernel: qkv projection + attention + out
                 # projection in one Pallas program, weights VMEM-resident
                 out = _ops.fused_attention_block(
@@ -270,23 +292,49 @@ class SwinLayer(nn.Module):
     drop_path: float = 0.0
     dtype: Dtype = jnp.float32
 
+    def _row_scale(self, b: int, deterministic: bool):
+        """Per-sample DropPath scale (mask/keep, reference layer.py:166-183)
+        for the fused layer kernels."""
+        if deterministic or self.drop_path == 0.0:
+            return None
+        keep = 1.0 - self.drop_path
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (b,))
+        return mask.astype(jnp.float32) / keep
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from .. import ops as _ops
+
+        b, hh, ww, dim = x.shape
+        g1, b1 = LayerNormParams(name="norm_attn")(dim)
+        g2, b2 = LayerNormParams(name="norm_ff")(dim)
+        attn = WindowAttention(
+            self.n_head, self.dim_head, self.input_size, self.window_size,
+            self.shift, self.drop_attn, dtype=self.dtype, name="attn")
+        ff = FeedForward(dim=self.dim_ff, activation=jax.nn.silu,
+                         dropout=self.drop_ff, dtype=self.dtype, name="ff")
+
+        use_layer = _ops.attention_impl(
+            b, seq=self.window_size ** 2, default="einsum") == "layer" \
+            and (deterministic or (self.drop_attn == 0.0 and
+                                   self.drop_ff == 0.0))
+        if use_layer:
+            x = attn(x, deterministic, ln=(g1, b1, _LN_EPS),
+                     row_scale=self._row_scale(b, deterministic))
+            return ff(x, deterministic, ln=(g2, b2, _LN_EPS),
+                      row_scale=self._row_scale(b, deterministic))
+
         def dp(y):
             if deterministic or self.drop_path == 0.0:
                 return y
             return drop_path_fn(y, self.drop_path, self.make_rng("dropout"), False)
 
-        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_attn")(x)
-        h = WindowAttention(
-            self.n_head, self.dim_head, self.input_size, self.window_size,
-            self.shift, self.drop_attn, dtype=self.dtype, name="attn",
-        )(h, deterministic)
+        h = layer_norm_apply(x, g1, b1, _LN_EPS, self.dtype)
+        h = attn(h, deterministic)
         x = x + dp(h)
 
-        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_ff")(x)
-        h = FeedForward(dim=self.dim_ff, activation=jax.nn.silu,
-                        dropout=self.drop_ff, dtype=self.dtype, name="ff")(h, deterministic)
+        h = layer_norm_apply(x, g2, b2, _LN_EPS, self.dtype)
+        h = ff(h, deterministic)
         return x + dp(h)
 
 

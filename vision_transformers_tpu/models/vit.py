@@ -24,8 +24,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config.registry import TypedConfig, register
-from .layers import (DenseParams, FeedForward, dense_apply, drop_path,
-                     trunc_normal_init, tuple2)
+from .layers import (DenseParams, FeedForward, LayerNormParams, dense_apply,
+                     drop_path, layer_norm_apply, trunc_normal_init, tuple2)
 
 Dtype = Any
 
@@ -41,12 +41,15 @@ class MultiHeadedAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, ln=None, row_scale=None):
+        """``ln=(scale, bias, eps)`` switches to the fused layer-half kernel
+        computing ``x + row_scale ⊙ Attn(LN(x))`` in one Pallas program
+        (ops/fused_layer.py); ``row_scale``: per-sample DropPath scale."""
         b, n, dim = x.shape
         dim_head = dim // self.n_head
 
         # raw Dense params ({qkv,linear}/{kernel,bias} — the exact nn.Dense
-        # tree) so the block kernel can take the weights VMEM-resident
+        # tree) so the fused kernels can take the weights VMEM-resident
         wqkv, bqkv = DenseParams(
             dim * 3, use_bias=self.use_bias,
             kernel_init=trunc_normal_init(0.02), name="qkv")(dim)
@@ -54,6 +57,14 @@ class MultiHeadedAttention(nn.Module):
             dim, kernel_init=trunc_normal_init(0.02), name="linear")(dim)
         scale = 1.0 / math.sqrt(dim_head)
         from .. import ops as _ops
+
+        if ln is not None:
+            g, bb, eps = ln
+            return _ops.fused_attention_layer(
+                x, g, bb, wqkv.astype(self.dtype),
+                None if bqkv is None else bqkv.astype(self.dtype),
+                wout.astype(self.dtype), bout.astype(self.dtype),
+                self.n_head, None, row_scale, scale, eps)
 
         impl = _ops.attention_impl(b, seq=n, default="fused")
         if not (deterministic or self.dropout == 0.0):
@@ -94,27 +105,53 @@ class TransformerLayer(nn.Module):
     drop_path: float = 0.0
     dtype: Dtype = jnp.float32
 
+    def _row_scale(self, b: int, deterministic: bool):
+        """Per-sample DropPath scale (mask/keep — drop_path semantics,
+        reference models/layer.py:166-183) for the fused layer kernels."""
+        if deterministic or self.drop_path == 0.0:
+            return None
+        keep = 1.0 - self.drop_path
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (b,))
+        return mask.astype(jnp.float32) / keep
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from .. import ops as _ops
+
+        b, n, dim = x.shape
+        g1, b1 = LayerNormParams(name="norm_attn")(dim)
+        g2, b2 = LayerNormParams(name="norm_ff")(dim)
+        attn = MultiHeadedAttention(
+            self.n_head, dropout=self.drop_attn, dtype=self.dtype, name="attn")
+        # reference FF activation defaults to SiLU (layer.py:186-196; the
+        # TransformerLayer doesn't override it, models/vit.py:55)
+        ff = FeedForward(dim=self.dim_ff, activation=jax.nn.silu,
+                         dropout=self.drop_ff, dtype=self.dtype, name="ff")
+
+        use_layer = _ops.attention_impl(b, seq=n, default="fused") == "layer" \
+            and (deterministic or (self.dropout == 0.0 and
+                                   self.drop_attn == 0.0 and
+                                   self.drop_ff == 0.0))
+        if use_layer:
+            # both residual branches as fused layer-half kernels; DropPath
+            # rides in as a per-sample row scale
+            x = attn(x, deterministic, ln=(g1, b1, _LN_EPS),
+                     row_scale=self._row_scale(b, deterministic))
+            return ff(x, deterministic, ln=(g2, b2, _LN_EPS),
+                      row_scale=self._row_scale(b, deterministic))
+
         def dp(y):
             if deterministic or self.drop_path == 0.0:
                 return y
             return drop_path(y, self.drop_path, self.make_rng("dropout"), False)
 
-        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_attn")(x)
-        h = MultiHeadedAttention(
-            self.n_head, dropout=self.drop_attn, dtype=self.dtype, name="attn"
-        )(h, deterministic)
+        h = layer_norm_apply(x, g1, b1, _LN_EPS, self.dtype)
+        h = attn(h, deterministic)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = x + dp(h)
 
-        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_ff")(x)
-        # reference FF activation defaults to SiLU (layer.py:186-196; the
-        # TransformerLayer doesn't override it, models/vit.py:55)
-        h = FeedForward(
-            dim=self.dim_ff, activation=jax.nn.silu,
-            dropout=self.drop_ff, dtype=self.dtype, name="ff",
-        )(h, deterministic)
+        h = layer_norm_apply(x, g2, b2, _LN_EPS, self.dtype)
+        h = ff(h, deterministic)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return x + dp(h)
 

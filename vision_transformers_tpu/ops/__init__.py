@@ -25,6 +25,7 @@ from typing import Optional
 
 from . import fused_attention as fused_attention_mod  # noqa: F401
 from . import fused_block as fused_block_mod  # noqa: F401
+from . import fused_layer as fused_layer_mod  # noqa: F401
 
 _FORCED: Optional[str] = None
 _INTERPRET: bool = False
@@ -51,7 +52,7 @@ def set_attention_impl(impl: Optional[str], interpret: bool = False) -> None:
     None = measurement-driven auto.  ``interpret`` runs the Pallas kernels
     in interpret mode (CPU testing)."""
     global _FORCED, _INTERPRET
-    assert impl in (None, "einsum", "fused", "block"), impl
+    assert impl in (None, "einsum", "fused", "block", "layer"), impl
     _FORCED = impl
     _INTERPRET = interpret
 
@@ -77,6 +78,25 @@ def fused_attention_block(x, wqkv, bqkv, wout, bout, n_head, extra=None,
         x, wqkv, bqkv, wout, bout, n_head, extra, scale, _INTERPRET)
 
 
+def fused_attention_layer(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
+                          n_head, extra=None, row_scale=None, scale=None,
+                          eps=1e-6):
+    """Whole pre-LN attention residual branch:
+    ``x + row_scale ⊙ AttnBlock(LN(x))`` (see ops/fused_layer.py)."""
+    return fused_layer_mod.fused_attention_layer(
+        x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, n_head, extra,
+        row_scale, scale, eps, _INTERPRET)
+
+
+def fused_ff_layer(x, ln_scale, ln_bias, w1, b1, w2, b2, activation="silu",
+                   row_scale=None, eps=1e-6):
+    """Whole pre-LN feed-forward residual branch:
+    ``x + row_scale ⊙ FF(LN(x))`` (see ops/fused_layer.py)."""
+    return fused_layer_mod.fused_ff_layer(
+        x, ln_scale, ln_bias, w1, b1, w2, b2, activation, row_scale, eps,
+        _INTERPRET)
+
+
 def attention_impl(batch: Optional[int] = None, seq: Optional[int] = None,
                    default: str = "einsum") -> str:
     """Implementation decision for one attention call site.
@@ -88,7 +108,7 @@ def attention_impl(batch: Optional[int] = None, seq: Optional[int] = None,
     if _FORCED is not None:
         return _FORCED
     env = os.environ.get("VTX_ATTN_IMPL")
-    if env in ("einsum", "fused", "block"):
+    if env in ("einsum", "fused", "block", "layer"):
         return env
     env = os.environ.get("VTX_FUSED_ATTENTION")
     if env is not None:
