@@ -144,15 +144,17 @@ def test_ff_layer_matches_composition(B, N, C, F, act, use_rs):
                 ["dx", "dg", "db", "dw1", "db1", "dw2", "db2", "drs"])
 
 
-def _impl_ctx(impl):
+def _impl_ctx(impl, ff_kernel=None):
     from vision_transformers_tpu import ops
 
     class _C:
         def __enter__(self):
             ops.set_attention_impl(impl, interpret=True)
+            ops.set_ff_kernel(ff_kernel)
 
         def __exit__(self, *a):
             ops.set_attention_impl(None)
+            ops.set_ff_kernel(None)
 
     return _C()
 
@@ -173,17 +175,19 @@ def test_vit_layer_impl_matches_einsum():
     with _impl_ctx("einsum"):
         ref = model.apply(params, x)
         g_ref = jax.grad(lambda p: model.apply(p, x).sum())(params)
-    with _impl_ctx("layer"):
-        out = model.apply(params, x)
-        g = jax.grad(lambda p: model.apply(p, x).sum())(params)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=5e-4, atol=5e-5)
-    for (pa, a), (_, b) in zip(
-        jax.tree_util.tree_leaves_with_path(g),
-        jax.tree_util.tree_leaves_with_path(g_ref),
-    ):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1e-4, err_msg=str(pa))
+    for ff_on in (False, True):
+        with _impl_ctx("layer", ff_kernel=ff_on):
+            out = model.apply(params, x)
+            g = jax.grad(lambda p: model.apply(p, x).sum())(params)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-4, atol=5e-5, err_msg=f"ff={ff_on}")
+        for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g),
+            jax.tree_util.tree_leaves_with_path(g_ref),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4,
+                                       err_msg=f"ff={ff_on} {pa}")
 
 
 def test_swin_layer_impl_matches_einsum():
@@ -203,19 +207,20 @@ def test_swin_layer_impl_matches_einsum():
         with _impl_ctx("einsum"):
             ref = layer.apply(params, x)
             g_ref = jax.grad(lambda p: layer.apply(p, x).sum())(params)
-        with _impl_ctx("layer"):
-            out = layer.apply(params, x)
-            g = jax.grad(lambda p: layer.apply(p, x).sum())(params)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=5e-4, atol=5e-5,
-                                   err_msg=f"shift={shift}")
-        for (pa, a), (_, b) in zip(
-            jax.tree_util.tree_leaves_with_path(g),
-            jax.tree_util.tree_leaves_with_path(g_ref),
-        ):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
-                err_msg=f"shift={shift} {pa}")
+        for ff_on in (False, True):
+            with _impl_ctx("layer", ff_kernel=ff_on):
+                out = layer.apply(params, x)
+                g = jax.grad(lambda p: layer.apply(p, x).sum())(params)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=5e-4, atol=5e-5,
+                                       err_msg=f"shift={shift} ff={ff_on}")
+            for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g),
+                jax.tree_util.tree_leaves_with_path(g_ref),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+                    err_msg=f"shift={shift} ff={ff_on} {pa}")
 
 
 def test_layer_impl_droppath_row_scale_statistics():

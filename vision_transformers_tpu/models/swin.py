@@ -314,15 +314,24 @@ class SwinLayer(nn.Module):
         ff = FeedForward(dim=self.dim_ff, activation=jax.nn.silu,
                          dropout=self.drop_ff, dtype=self.dtype, name="ff")
 
+        # measured default (PERF.md round 2): the fused attention-layer
+        # kernel beats einsum/block at every Swin stage (900/913 vs 746/889
+        # img/s/chip at 64/128 per chip)
         use_layer = _ops.attention_impl(
-            b, seq=self.window_size ** 2, default="einsum") == "layer" \
+            b, seq=self.window_size ** 2, default="layer") == "layer" \
             and (deterministic or (self.drop_attn == 0.0 and
                                    self.drop_ff == 0.0))
         if use_layer:
             x = attn(x, deterministic, ln=(g1, b1, _LN_EPS),
                      row_scale=self._row_scale(b, deterministic))
-            return ff(x, deterministic, ln=(g2, b2, _LN_EPS),
-                      row_scale=self._row_scale(b, deterministic))
+            if _ops.ff_kernel_enabled():
+                return ff(x, deterministic, ln=(g2, b2, _LN_EPS),
+                          row_scale=self._row_scale(b, deterministic))
+            h = layer_norm_apply(x, g2, b2, _LN_EPS, self.dtype)
+            h = ff(h, deterministic)
+            rs = self._row_scale(b, deterministic)
+            return x + (h if rs is None
+                        else h * rs[:, None, None, None].astype(h.dtype))
 
         def dp(y):
             if deterministic or self.drop_path == 0.0:

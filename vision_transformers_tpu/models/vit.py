@@ -128,17 +128,26 @@ class TransformerLayer(nn.Module):
         ff = FeedForward(dim=self.dim_ff, activation=jax.nn.silu,
                          dropout=self.drop_ff, dtype=self.dtype, name="ff")
 
-        use_layer = _ops.attention_impl(b, seq=n, default="fused") == "layer" \
+        # measured default (PERF.md round 2): fused attention-layer kernel
+        # for full-length sequences, einsum for short ones (DINO locals)
+        site_default = "layer" if n >= 128 else "einsum"
+        use_layer = _ops.attention_impl(b, seq=n, default=site_default) == "layer" \
             and (deterministic or (self.dropout == 0.0 and
                                    self.drop_attn == 0.0 and
                                    self.drop_ff == 0.0))
         if use_layer:
-            # both residual branches as fused layer-half kernels; DropPath
-            # rides in as a per-sample row scale
+            # attention residual branch as one fused kernel; DropPath rides
+            # in as a per-sample row scale.  The FF half fuses only when the
+            # FF kernel is enabled (its backward trails XLA — PERF.md)
             x = attn(x, deterministic, ln=(g1, b1, _LN_EPS),
                      row_scale=self._row_scale(b, deterministic))
-            return ff(x, deterministic, ln=(g2, b2, _LN_EPS),
-                      row_scale=self._row_scale(b, deterministic))
+            if _ops.ff_kernel_enabled():
+                return ff(x, deterministic, ln=(g2, b2, _LN_EPS),
+                          row_scale=self._row_scale(b, deterministic))
+            h = layer_norm_apply(x, g2, b2, _LN_EPS, self.dtype)
+            h = ff(h, deterministic)
+            rs = self._row_scale(b, deterministic)
+            return x + (h if rs is None else h * rs[:, None, None].astype(h.dtype))
 
         def dp(y):
             if deterministic or self.drop_path == 0.0:

@@ -97,6 +97,28 @@ def fused_ff_layer(x, ln_scale, ln_bias, w1, b1, w2, b2, activation="silu",
         _INTERPRET)
 
 
+_FF_KERNEL_FORCED: Optional[bool] = None
+
+
+def set_ff_kernel(enabled: Optional[bool]) -> None:
+    """Force the fused FF layer-half kernel on/off under the 'layer' impl
+    (None = measured default)."""
+    global _FF_KERNEL_FORCED
+    _FF_KERNEL_FORCED = enabled
+
+
+def ff_kernel_enabled(default: bool = False) -> bool:
+    """Whether the 'layer' impl also fuses the FF half.  Measured default:
+    OFF — the FF backward kernel trails XLA (PERF.md round 2); the
+    attention half is where the fused win lives."""
+    if _FF_KERNEL_FORCED is not None:
+        return _FF_KERNEL_FORCED
+    env = os.environ.get("VTX_FF_KERNEL")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    return default
+
+
 def attention_impl(batch: Optional[int] = None, seq: Optional[int] = None,
                    default: str = "einsum") -> str:
     """Implementation decision for one attention call site.
@@ -119,11 +141,10 @@ def attention_impl(batch: Optional[int] = None, seq: Optional[int] = None,
         # Mosaic kernels only compile for TPU; CPU/GPU take the einsum path
         # (tests opt into kernels via set_attention_impl(..., interpret=True))
         return "einsum"
-    if default == "fused":
-        if batch is not None and batch < _AUTO_MIN_BATCH:
-            return "einsum"
-        if seq is not None and seq < _AUTO_MIN_SEQ:
-            return "einsum"
+    if default != "einsum" and batch is not None and batch < _AUTO_MIN_BATCH:
+        return "einsum"  # tiny batches stay VMEM-resident under einsum
+    if default == "fused" and seq is not None and seq < _AUTO_MIN_SEQ:
+        return "einsum"  # short-seq standalone kernel loses (DINO locals)
     return default
 
 
