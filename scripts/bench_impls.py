@@ -28,7 +28,11 @@ ARCHS = {
              "depths": [2, 2, 18, 2], "dims": [96, 192, 384, 768],
              "dim_head": 32, "n_heads": [3, 6, 12, 24],
              "dim_ffs": [384, 768, 1536, 3072], "window_size": 7},
+    # reference headline conv model (trains progressively 128->300px;
+    # 300 is the accuracy-quoted resolution)
+    "effnetv2": {"type": "efficientnetv2"},
 }
+IMG_SIZE = {"vit": 224, "swin": 224, "effnetv2": 300}
 
 
 def bench_step(arch: str, batches, impl: str):
@@ -42,6 +46,7 @@ def bench_step(arch: str, batches, impl: str):
     ops.set_attention_impl(impl)
     n_chips = len(jax.devices())
     mesh = meshlib.make_mesh()
+    size = IMG_SIZE.get(arch, 224)
     model = registry.build("model", ARCHS[arch]).make(dtype=jnp.bfloat16)
     train_conf = Training(
         optimizer={"type": "adamw", "lr": 1e-3},
@@ -50,7 +55,7 @@ def bench_step(arch: str, batches, impl: str):
         clip_grad_norm=5.0,
     )
     rng = jax.random.PRNGKey(0)
-    shape = (2, 224, 224, 3)
+    shape = (2, size, size, 3)
     results = {}
     with mesh:
         params_shape = jax.eval_shape(lambda: model.init(rng, jnp.zeros(shape)))["params"]
@@ -71,7 +76,7 @@ def bench_step(arch: str, batches, impl: str):
                                  donate_argnums=(0,))
             host = {
                 "image": np.random.default_rng(0).normal(
-                    size=(batch, 224, 224, 3)).astype(np.float32),
+                    size=(batch, size, size, 3)).astype(np.float32),
                 "label1": np.random.default_rng(1).integers(0, 1000, batch).astype(np.int32),
                 "label2": np.random.default_rng(2).integers(0, 1000, batch).astype(np.int32),
                 "ratio": np.ones(batch, np.float32),

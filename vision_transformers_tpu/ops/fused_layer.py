@@ -38,6 +38,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .fused_attention import _cp
 from .fused_block import _extra_form, _head_slices
@@ -103,6 +104,7 @@ def _attn_layer_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                            scale, eps, bc, n_head, dim_head, has_extra,
                            has_bqkv, has_bout, has_rs):
     HD = n_head * dim_head
+    base_row = pl.program_id(0) * bc
 
     def body(j, _):
         xj = x_ref[j]
@@ -139,7 +141,8 @@ def _attn_layer_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
         if has_bout:
             a = a + bout_ref[0]
         if has_rs:
-            a = a * rs_ref[j].astype(x_ref.dtype)
+            rv = rs_ref[base_row + j, 0]  # SMEM scalar
+            a = a * rv.astype(x_ref.dtype)
         o_ref[j] = xj + a
         return _
 
@@ -209,10 +212,10 @@ def _attn_layer_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
             )
             if has_bout:
                 a = a + bout_ref[0].astype(jnp.float32)
-            drs_ref[j] = jnp.sum(
-                dz.astype(jnp.float32) * a, axis=(0, 1), keepdims=True
-            )[0]
-            da = (dz * rs_ref[j].astype(x_ref.dtype))
+            row = b * bc + j
+            drs_ref[row, 0] = jnp.sum(dz.astype(jnp.float32) * a)
+            rv = rs_ref[row, 0]  # SMEM scalar
+            da = dz * rv.astype(x_ref.dtype)
         else:
             da = dz
 
@@ -326,8 +329,10 @@ def _attn_layer_fwd(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
     has_bqkv, has_bout = bqkv is not None, bout is not None
     bq = bqkv.reshape(1, -1) if has_bqkv else jnp.zeros((1, 1), x.dtype)
     bo = bout.reshape(1, -1) if has_bout else jnp.zeros((1, 1), x.dtype)
-    rs_spec = pl.BlockSpec((bc, 1), lambda i: (i, 0)) if has_rs \
-        else pl.BlockSpec((1, 1), lambda i: (0, 0))
+    # per-row scalars live in SMEM (full array, dynamically indexed by
+    # global row = program_id·bc + j; vector-register broadcasts of a [1,1]
+    # tile are not implemented in Mosaic)
+    rs_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     out = pl.pallas_call(
         functools.partial(
@@ -369,8 +374,10 @@ def _attn_layer_bwd(n_head, scale, eps, interpret, res, do):
     has_bqkv, has_bout = bqkv is not None, bout is not None
     bq = bqkv.reshape(1, -1) if has_bqkv else jnp.zeros((1, 1), x.dtype)
     bo = bout.reshape(1, -1) if has_bout else jnp.zeros((1, 1), x.dtype)
-    rs_spec = pl.BlockSpec((bc, 1), lambda i: (i, 0)) if has_rs \
-        else pl.BlockSpec((1, 1), lambda i: (0, 0))
+    # per-row scalars live in SMEM (full array, dynamically indexed by
+    # global row = program_id·bc + j; vector-register broadcasts of a [1,1]
+    # tile are not implemented in Mosaic)
+    rs_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     outs = pl.pallas_call(
         functools.partial(
@@ -467,6 +474,8 @@ def fused_attention_layer(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
 
 def _ff_fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    rs_ref, o_ref, *, eps, bc, act, has_b1, has_b2, has_rs):
+    base_row = pl.program_id(0) * bc
+
     def body(j, _):
         xj = x_ref[j]
         u, _unused_xhat, _unused_r = _ln_fwd(xj.astype(jnp.float32), g_ref, b_ref, eps)
@@ -485,7 +494,8 @@ def _ff_fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         if has_b2:
             out = out + b2_ref[0]
         if has_rs:
-            out = out * rs_ref[j].astype(x_ref.dtype)
+            rv = rs_ref[base_row + j, 0]  # SMEM scalar
+            out = out * rv.astype(x_ref.dtype)
         o_ref[j] = xj + out
         return _
 
@@ -529,10 +539,10 @@ def _ff_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             )
             if has_b2:
                 out = out + b2_ref[0].astype(jnp.float32)
-            drs_ref[j] = jnp.sum(
-                dz.astype(jnp.float32) * out, axis=(0, 1), keepdims=True
-            )[0]
-            dout = dz * rs_ref[j].astype(x_ref.dtype)
+            row = i * bc + j
+            drs_ref[row, 0] = jnp.sum(dz.astype(jnp.float32) * out)
+            rv = rs_ref[row, 0]  # SMEM scalar
+            dout = dz * rv.astype(x_ref.dtype)
         else:
             dout = dz
 
@@ -602,8 +612,10 @@ def _ff_layer_fwd(x, g, b, w1, b1, w2, b2, rs, act, eps, interpret):
     has_b1, has_b2 = b1 is not None, b2 is not None
     b1_ = b1.reshape(1, -1) if has_b1 else jnp.zeros((1, 1), x.dtype)
     b2_ = b2.reshape(1, -1) if has_b2 else jnp.zeros((1, 1), x.dtype)
-    rs_spec = pl.BlockSpec((bc, 1), lambda i: (i, 0)) if has_rs \
-        else pl.BlockSpec((1, 1), lambda i: (0, 0))
+    # per-row scalars live in SMEM (full array, dynamically indexed by
+    # global row = program_id·bc + j; vector-register broadcasts of a [1,1]
+    # tile are not implemented in Mosaic)
+    rs_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     out = pl.pallas_call(
         functools.partial(_ff_fwd_kernel, eps=eps, bc=bc, act=act,
@@ -636,8 +648,10 @@ def _ff_layer_bwd(act, eps, interpret, res, do):
     has_b1, has_b2 = b1 is not None, b2 is not None
     b1_ = b1.reshape(1, -1) if has_b1 else jnp.zeros((1, 1), x.dtype)
     b2_ = b2.reshape(1, -1) if has_b2 else jnp.zeros((1, 1), x.dtype)
-    rs_spec = pl.BlockSpec((bc, 1), lambda i: (i, 0)) if has_rs \
-        else pl.BlockSpec((1, 1), lambda i: (0, 0))
+    # per-row scalars live in SMEM (full array, dynamically indexed by
+    # global row = program_id·bc + j; vector-register broadcasts of a [1,1]
+    # tile are not implemented in Mosaic)
+    rs_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     outs = pl.pallas_call(
         functools.partial(_ff_bwd_kernel, eps=eps, bc=bc, act=act,
