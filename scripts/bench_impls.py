@@ -31,8 +31,14 @@ ARCHS = {
     # reference headline conv model (trains progressively 128->300px;
     # 300 is the accuracy-quoted resolution)
     "effnetv2": {"type": "efficientnetv2"},
+    # remaining reference families at their registry defaults
+    "pvt": {"type": "pvt"},
+    "twins": {"type": "twins_svt"},
+    "halo": {"type": "halo_transformer"},
+    "nfnet": {"type": "nfnet"},          # F0; reference trains at 192px
 }
-IMG_SIZE = {"vit": 224, "swin": 224, "effnetv2": 300}
+# halo: window 8 needs feature maps divisible by 8 -> 256px (paper res)
+IMG_SIZE = {"vit": 224, "swin": 224, "effnetv2": 300, "nfnet": 192, "halo": 256}
 
 
 def bench_step(arch: str, batches, impl: str):

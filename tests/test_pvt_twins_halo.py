@@ -208,3 +208,26 @@ def test_halo_attention_window_isolation():
     np.testing.assert_allclose(base[0, 5:, 5:], out2[0, 5:, 5:], atol=1e-5)
     # top-left window changed
     assert not np.allclose(base[0, :4, :4], out2[0, :4, :4])
+
+
+def test_halo_neighborhoods_matches_unfold():
+    """The tiled-slice gather must produce exactly torch-unfold's values
+    (zero borders, row-major (ky,kx) token order) — pinned against
+    lax.conv_general_dilated_patches' (c, ky, kx) feature layout."""
+    import jax
+    import jax.numpy as jnp
+    from vision_transformers_tpu.models.halo import halo_neighborhoods
+
+    rng = np.random.default_rng(0)
+    for window, halo, H, C in ((8, 2, 16, 6), (4, 1, 8, 4), (8, 3, 16, 2)):
+        k = window + 2 * halo
+        x = jnp.asarray(rng.normal(size=(2, H, H, C)).astype(np.float32))
+        got = halo_neighborhoods(x, window, halo)  # [b, S, k², C]
+        ref = jax.lax.conv_general_dilated_patches(
+            x.transpose(0, 3, 1, 2), (k, k), (window, window),
+            ((halo, halo), (halo, halo)),
+        )  # [b, C·k², hs, ws] with feature order (c, ky, kx)
+        hs = H // window
+        ref = ref.reshape(2, C, k * k, hs * hs).transpose(0, 3, 2, 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   err_msg=f"w={window} h={halo}")

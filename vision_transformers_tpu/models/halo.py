@@ -6,9 +6,10 @@ unfolds with stride=window, padding=halo, :74-92 — borders are zero-padded
 and *not* masked; we reproduce that).
 
 TPU-native notes:
-- torch's ``F.unfold`` becomes ``lax.conv_general_dilated_patches`` — XLA's
-  native overlapping-patch extraction; on TPU it lowers to strided windows
-  read straight from HBM instead of an im2col materialization
+- torch's ``F.unfold`` becomes :func:`halo_neighborhoods` — a two-level
+  tiled-slice gather (pure data movement).  ``lax.conv_general_dilated_patches``
+  is NOT used: XLA lowers it to a real convolution against a one-hot kernel,
+  measured 15× slower than the whole rest of the Halo train step on v5e
 - the relative-position table ((w+2h)² keys × w² queries, zero-init,
   reference :36-55) is gathered with a static numpy index → constant-folded
 - attention is a batched einsum [B, heads, S, w², (w+2h)²] — MXU-shaped
@@ -38,6 +39,37 @@ from .swin import PatchEmbedding
 Dtype = Any
 
 _LN_EPS = 1e-6  # reference: models/halo_transformer.py:9
+
+
+def halo_neighborhoods(kv: jax.Array, window: int, halo: int) -> jax.Array:
+    """Overlapping (window+2·halo)² neighborhoods as pure data movement.
+
+    [b, H, W, C] → [b, n_win, k², C] (row-major (ky, kx) token order, zero
+    borders) — the same values as torch unfold / conv_general_dilated_patches
+    but WITHOUT the conv lowering: XLA lowers dilated_patches to a real
+    convolution against a one-hot kernel on TPU, which measured 15× slower
+    than the rest of the Halo step.  Two-level tiling instead: pad by halo,
+    cut the map into t×t tiles (t | window, t | k), and assemble every
+    neighborhood from a (k/t)² grid of strided tile slices — (k/t)² cheap
+    strided copies instead of an MXU matmul per tap.
+    """
+    b, H, W, C = kv.shape
+    k = window + 2 * halo
+    t = next((d for d in range(window, 0, -1)
+              if window % d == 0 and k % d == 0 and (2 * halo) % d == 0), 1)
+    hs, ws = H // window, W // window
+    pad = jnp.pad(kv, ((0, 0), (halo, halo), (halo, halo), (0, 0)))
+    hp, wp = H + 2 * halo, W + 2 * halo
+    tiles = pad.reshape(b, hp // t, t, wp // t, t, C)
+    kt, st = k // t, window // t
+    rows = [jax.lax.slice_in_dim(tiles, ky, ky + st * (hs - 1) + 1, st, axis=1)
+            for ky in range(kt)]
+    g = jnp.stack(rows, axis=2)          # [b, hs, ky, ty, txg, tx, C]
+    cols = [jax.lax.slice_in_dim(g, kx, kx + st * (ws - 1) + 1, st, axis=4)
+            for kx in range(kt)]
+    g = jnp.stack(cols, axis=5)          # [b, hs, ky, ty, ws, kx, tx, C]
+    g = g.transpose(0, 1, 4, 2, 3, 5, 6, 7)  # [b, hs, ws, ky, ty, kx, tx, C]
+    return g.reshape(b, hs * ws, k * k, C)
 
 
 def halo_position_index(window: int, halo: int) -> tuple[np.ndarray, int]:
@@ -83,17 +115,13 @@ class HaloAttention(nn.Module):
             b, self.n_head, n_win, window * window, self.dim_head
         )
 
-        # keys/values: overlapping halo neighborhoods.  patches feature dim is
-        # ordered (c, ky, kx) — same as torch unfold.
-        patches = jax.lax.conv_general_dilated_patches(
-            kv.transpose(0, 3, 1, 2),  # NCHW
-            filter_shape=(k_size, k_size),
-            window_strides=(window, window),
-            padding=((halo, halo), (halo, halo)),
-        )  # [b, 2*inner*k², hs, ws]
-        patches = patches.reshape(b, 2, self.n_head, self.dim_head, k_size * k_size, n_win)
-        patches = patches.transpose(1, 0, 2, 5, 4, 3)  # [2, b, head, S, k², d]
-        key, value = patches[0], patches[1]
+        # keys/values: overlapping halo neighborhoods (zero borders, same
+        # values as torch unfold) via the tiled-slice gather
+        nb = halo_neighborhoods(kv, window, halo)  # [b, S, k², 2·inner]
+        nb = nb.reshape(b, n_win, k_size * k_size, 2, self.n_head,
+                        self.dim_head)
+        key = nb[:, :, :, 0].transpose(0, 3, 1, 2, 4)    # [b, head, S, k², d]
+        value = nb[:, :, :, 1].transpose(0, 3, 1, 2, 4)
 
         scale = 1.0 / math.sqrt(self.dim_head)
         score = jnp.einsum("bhsqd,bhskd->bhsqk", q, key) * scale

@@ -1,18 +1,22 @@
 """TPU kernels (Pallas) and the dispatch switch.
 
-Three attention implementations (PERF.md rounds 1-2):
+Four attention implementations (PERF.md rounds 1-2):
 
 - ``einsum``: XLA batched einsums — wins at tiny per-chip batches (<32,
   activations stay VMEM-resident) and very short sequences
 - ``fused``: ops/fused_attention.py ``fused_attention_qkv`` — reads the qkv
   projection output in its native [B, N, 3·H·D] layout (no relayout on
-  either side of the custom call); beats einsum in the full ViT-S train
-  step on v5e (3552 vs 2500 img/s/chip at 256/chip)
+  either side of the custom call)
 - ``block``: ops/fused_block.py — the whole attention block (qkv projection
-  + MHSA + out projection) as ONE kernel with VMEM-resident weights; one
-  HBM read of x and one write of the output per layer
+  + MHSA + out projection) as ONE kernel with VMEM-resident weights
+- ``layer``: ops/fused_layer.py — the whole pre-LN attention residual
+  branch (LN + qkv + MHSA + out projection + DropPath row scale +
+  residual) as one kernel; THE measured winner and the AUTO default for
+  Swin (all stages) and ViT (seq ≥ 128): Swin-S 913 vs 889 einsum
+  img/s/chip at 128/chip, ViT-S 3684 vs 3534 (v5e).  The FF residual
+  branch has a matching kernel, off by default (``ff_kernel_enabled``).
 
-Dispatch: env ``VTX_ATTN_IMPL=einsum|fused|block`` forces globally
+Dispatch: env ``VTX_ATTN_IMPL=einsum|fused|block|layer`` forces globally
 (legacy ``VTX_FUSED_ATTENTION=1|0`` maps to fused/einsum); otherwise
 measurement-driven AUTO keyed on the call's batch/sequence, with per-site
 measured defaults passed by the model code.
