@@ -250,3 +250,28 @@ def test_layer_impl_droppath_row_scale_statistics():
     assert per_sample_same_as_x.any(), "expected some fully-dropped samples"
     assert not per_sample_same_as_x.all(), "expected some kept samples"
     assert not np.allclose(dp_, det)
+
+
+def test_twins_layer_impl_matches_einsum():
+    """TwinsLayer's LSA branch under the fused layer kernel vs einsum —
+    packed window pairs with the block-diagonal mask, grads."""
+    from vision_transformers_tpu.models.twins import TwinsLayer
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    layer = TwinsLayer(n_head=2, dim_head=8, dim_ff=32, window_size=4)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    with _impl_ctx("einsum"):
+        ref = layer.apply(params, x)
+        g_ref = jax.grad(lambda p: layer.apply(p, x).sum())(params)
+    with _impl_ctx("layer"):
+        out = layer.apply(params, x)
+        g = jax.grad(lambda p: layer.apply(p, x).sum())(params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-5)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g),
+        jax.tree_util.tree_leaves_with_path(g_ref),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4, err_msg=str(pa))

@@ -20,6 +20,8 @@ Reference quirks reproduced:
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from typing import Any, Optional, Tuple
 
 import jax
@@ -27,7 +29,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config.registry import TypedConfig, register
-from .layers import FeedForward, drop_path as drop_path_fn, trunc_normal_init
+from .layers import (DenseParams, FeedForward, LayerNormParams, dense_apply,
+                     drop_path as drop_path_fn, layer_norm_apply,
+                     trunc_normal_init)
 from .swin import PatchEmbedding, patchify
 
 Dtype = Any
@@ -59,14 +63,50 @@ class LocalAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, ln=None, row_scale=None):
+        """``ln=(scale, bias, eps)`` switches to the fused layer-half kernel
+        (ops/fused_layer.py) and returns the FULL residual branch
+        ``x + row_scale ⊙ LSA(LN(x))`` — same pattern as Swin's
+        WindowAttention, with window PAIRS packed under a block-diagonal
+        mask (no rel-pos table here, reference models/twins.py:96-152)."""
         b, h, w, dim = x.shape
         window = self.window_size
         hs, ws = h // window, w // window
         inner = self.n_head * self.dim_head
+        w2 = window * window
 
-        qkv = nn.Dense(inner * 3, dtype=self.dtype,
-                       kernel_init=trunc_normal_init(0.02), name="weight")(x)
+        wqkv, bqkv = DenseParams(inner * 3,
+                                 kernel_init=trunc_normal_init(0.02),
+                                 name="weight")(dim)
+        wout, bout = DenseParams(dim, kernel_init=trunc_normal_init(0.02),
+                                 name="linear")(inner)
+        from .. import ops as _ops
+
+        if ln is not None:
+            g_ln, b_ln, eps = ln
+            pack = 2 if (ws % 2 == 0 and 2 * w2 <= 128) else 1
+            m_tok = pack * w2
+            groups = hs * ws // pack
+            xw = x.reshape(b, hs, window, ws // pack, pack, window, dim)
+            xw = xw.transpose(1, 3, 0, 4, 2, 5, 6)
+            xw = xw.reshape(groups * b, m_tok, dim)
+            if pack > 1:
+                blk = np.full((m_tok, m_tok), -1e9, np.float32)
+                blk[:w2, :w2] = 0.0
+                blk[w2:, w2:] = 0.0
+                extra = jnp.asarray(blk)  # shared over heads and groups
+            else:
+                extra = None
+            rs_rows = None if row_scale is None else jnp.tile(row_scale, groups)
+            out = _ops.fused_attention_layer(
+                xw, g_ln, b_ln, wqkv.astype(self.dtype),
+                bqkv.astype(self.dtype), wout.astype(self.dtype),
+                bout.astype(self.dtype), self.n_head, extra, rs_rows,
+                1.0 / math.sqrt(self.dim_head), eps)
+            out = out.reshape(hs, ws // pack, b, pack, window, window, dim)
+            return out.transpose(2, 0, 4, 1, 3, 5, 6).reshape(b, h, w, dim)
+
+        qkv = dense_apply(x, wqkv, bqkv, self.dtype)
         qkv = qkv.reshape(b, hs, window, ws, window, 3, self.n_head, self.dim_head)
         qkv = qkv.transpose(0, 1, 3, 5, 6, 2, 4, 7).reshape(
             b, hs * ws, 3, self.n_head, window * window, self.dim_head
@@ -80,8 +120,7 @@ class LocalAttention(nn.Module):
         out = jnp.einsum("bshqk,bshkd->bshqd", attn, v)
         out = out.reshape(b, hs, ws, self.n_head, window, window, self.dim_head)
         out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(b, h, w, inner)
-        return nn.Dense(dim, dtype=self.dtype,
-                        kernel_init=trunc_normal_init(0.02), name="linear")(out)
+        return dense_apply(out, wout, bout, self.dtype)
 
 
 class GlobalSubsampledAttention(nn.Module):
@@ -147,17 +186,37 @@ class TwinsLayer(nn.Module):
     drop_path: float = 0.0
     dtype: Dtype = jnp.float32
 
+    def _row_scale(self, b: int, deterministic: bool):
+        if deterministic or self.drop_path == 0.0:
+            return None
+        keep = 1.0 - self.drop_path
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (b,))
+        return mask.astype(jnp.float32) / keep
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from .. import ops as _ops
+
         def dp(y):
             if deterministic or self.drop_path == 0.0:
                 return y
             return drop_path_fn(y, self.drop_path, self.make_rng("dropout"), False)
 
-        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_attn_local")(x)
-        h = LocalAttention(self.n_head, self.dim_head, self.window_size,
-                           self.drop_attn, dtype=self.dtype, name="attn_local")(h, deterministic)
-        x = x + dp(h)
+        b = x.shape[0]
+        g1, b1 = LayerNormParams(name="norm_attn_local")(x.shape[-1])
+        attn_local = LocalAttention(self.n_head, self.dim_head,
+                                    self.window_size, self.drop_attn,
+                                    dtype=self.dtype, name="attn_local")
+        use_layer = _ops.attention_impl(
+            b, seq=self.window_size ** 2, default="layer") == "layer" \
+            and (deterministic or self.drop_attn == 0.0)
+        if use_layer:
+            x = attn_local(x, deterministic, ln=(g1, b1, _LN_EPS),
+                           row_scale=self._row_scale(b, deterministic))
+        else:
+            h = layer_norm_apply(x, g1, b1, _LN_EPS, self.dtype)
+            h = attn_local(h, deterministic)
+            x = x + dp(h)
 
         h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_ff_local")(x)
         h = FeedForward(dim=self.dim_ff, activation=jax.nn.silu, dropout=self.drop_ff,
