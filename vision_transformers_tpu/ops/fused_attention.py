@@ -37,9 +37,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 try:  # pallas TPU compiler params (absent on pure-CPU builds)
+    import os as _os_
+
     from jax.experimental.pallas import tpu as pltpu
 
-    _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+    _COMPILER_PARAMS = pltpu.CompilerParams(
+        vmem_limit_bytes=int(_os_.environ.get("VTX_VMEM_MB", "32")) * 1024 * 1024)
 except Exception:  # pragma: no cover
     _COMPILER_PARAMS = None
 
