@@ -102,9 +102,9 @@ def _act_bwd(h, kind):
 def _attn_layer_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                            bout_ref, extra_ref, rs_ref, o_ref, *,
                            scale, eps, bc, n_head, dim_head, has_extra,
-                           has_bqkv, has_bout, has_rs):
+                           has_bqkv, has_bout, has_rs, rs_global):
     HD = n_head * dim_head
-    base_row = pl.program_id(0) * bc
+    row0 = pl.program_id(0) * bc if rs_global else 0
 
     def body(j, _):
         xj = x_ref[j]
@@ -141,7 +141,7 @@ def _attn_layer_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
         if has_bout:
             a = a + bout_ref[0]
         if has_rs:
-            rv = rs_ref[base_row + j, 0]  # SMEM scalar
+            rv = rs_ref[row0 + j, 0]  # SMEM scalar
             a = a * rv.astype(x_ref.dtype)
         o_ref[j] = xj + a
         return _
@@ -154,9 +154,10 @@ def _attn_layer_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                            dx_ref, dg_ref, db_ref, dwqkv_ref, dbqkv_ref,
                            dwout_ref, dbout_ref, dextra_ref, drs_ref, *,
                            scale, eps, bc, n_head, dim_head, has_extra,
-                           has_bqkv, has_bout, has_rs, bpg):
+                           has_bqkv, has_bout, has_rs, rs_global, bpg):
     HD = n_head * dim_head
     b = pl.program_id(0)
+    row0 = b * bc if rs_global else 0
 
     @pl.when(b == 0)
     def _init_w():
@@ -212,9 +213,8 @@ def _attn_layer_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
             )
             if has_bout:
                 a = a + bout_ref[0].astype(jnp.float32)
-            row = b * bc + j
-            drs_ref[row, 0] = jnp.sum(dz.astype(jnp.float32) * a)
-            rv = rs_ref[row, 0]  # SMEM scalar
+            drs_ref[row0 + j, 0] = jnp.sum(dz.astype(jnp.float32) * a)
+            rv = rs_ref[row0 + j, 0]  # SMEM scalar
             da = dz * rv.astype(x_ref.dtype)
         else:
             da = dz
@@ -307,6 +307,26 @@ def _rs_form(row_scale, B, dtype):
     return row_scale.astype(jnp.float32).reshape(B, 1), 1
 
 
+def _rs_spec(rs_b, has_rs, bc):
+    """SMEM spec for the per-row DropPath scales + whether the kernel must
+    index rows GLOBALLY (program_id·bc + j).
+
+    Mosaic's per-dimension block rule (divisible by (8, 128) or equal to the
+    array dim) also applies to SMEM windows: a (bc, 1) block needs
+    bc % 8 == 0.  When bc isn't 8-aligned, fall back to the full [B, 1]
+    array resident in SMEM (those are the small-B tail stages, so a few
+    hundred bytes — a LARGE full array would blow the 1 MB scalar memory,
+    which is why blocked windows are preferred)."""
+    if not has_rs:
+        return pl.BlockSpec((1, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM), False
+    if bc % 8 == 0:
+        return pl.BlockSpec((bc, 1), lambda i: (i, 0),
+                            memory_space=pltpu.SMEM), False
+    return pl.BlockSpec(rs_b.shape, lambda i: (0, 0),
+                        memory_space=pltpu.SMEM), True
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
 def _attn_layer(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
                 n_head, scale, eps, interpret):
@@ -329,16 +349,18 @@ def _attn_layer_fwd(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
     has_bqkv, has_bout = bqkv is not None, bout is not None
     bq = bqkv.reshape(1, -1) if has_bqkv else jnp.zeros((1, 1), x.dtype)
     bo = bout.reshape(1, -1) if has_bout else jnp.zeros((1, 1), x.dtype)
-    # per-row scalars live in SMEM (full array, dynamically indexed by
-    # global row = program_id·bc + j; vector-register broadcasts of a [1,1]
-    # tile are not implemented in Mosaic)
-    rs_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # per-row scalars live in SMEM as a per-block window ((bc,1) VECTOR
+    # blocks are rejected by Mosaic's (8,128) tiling rule, a [1,1]->[N,C]
+    # vector broadcast is unimplemented, and a full [B,1] SMEM array
+    # overflows the 1MB scalar memory at large B)
+    rs_spec, rs_global = _rs_spec(rs_b, has_rs, bc)
 
     out = pl.pallas_call(
         functools.partial(
             _attn_layer_fwd_kernel, scale=scale, eps=eps, bc=bc,
             n_head=n_head, dim_head=dim_head, has_extra=bool(has_extra),
-            has_bqkv=has_bqkv, has_bout=has_bout, has_rs=bool(has_rs)),
+            has_bqkv=has_bqkv, has_bout=has_bout, has_rs=bool(has_rs),
+            rs_global=rs_global),
         grid=(B // bc,),
         in_specs=[
             pl.BlockSpec((bc, N, C), lambda i: (i, 0, 0)),
@@ -374,17 +396,18 @@ def _attn_layer_bwd(n_head, scale, eps, interpret, res, do):
     has_bqkv, has_bout = bqkv is not None, bout is not None
     bq = bqkv.reshape(1, -1) if has_bqkv else jnp.zeros((1, 1), x.dtype)
     bo = bout.reshape(1, -1) if has_bout else jnp.zeros((1, 1), x.dtype)
-    # per-row scalars live in SMEM (full array, dynamically indexed by
-    # global row = program_id·bc + j; vector-register broadcasts of a [1,1]
-    # tile are not implemented in Mosaic)
-    rs_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # per-row scalars live in SMEM as a per-block window ((bc,1) VECTOR
+    # blocks are rejected by Mosaic's (8,128) tiling rule, a [1,1]->[N,C]
+    # vector broadcast is unimplemented, and a full [B,1] SMEM array
+    # overflows the 1MB scalar memory at large B)
+    rs_spec, rs_global = _rs_spec(rs_b, has_rs, bc)
 
     outs = pl.pallas_call(
         functools.partial(
             _attn_layer_bwd_kernel, scale=scale, eps=eps, bc=bc,
             n_head=n_head, dim_head=dim_head, has_extra=bool(has_extra),
             has_bqkv=has_bqkv, has_bout=has_bout, has_rs=bool(has_rs),
-            bpg=bpg),
+            rs_global=rs_global, bpg=bpg),
         grid=(B // bc,),
         in_specs=[
             pl.BlockSpec((bc, N, C), lambda i: (i, 0, 0)),
@@ -473,8 +496,9 @@ def fused_attention_layer(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
 
 
 def _ff_fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                   rs_ref, o_ref, *, eps, bc, act, has_b1, has_b2, has_rs):
-    base_row = pl.program_id(0) * bc
+                   rs_ref, o_ref, *, eps, bc, act, has_b1, has_b2, has_rs,
+                   rs_global):
+    row0 = pl.program_id(0) * bc if rs_global else 0
 
     def body(j, _):
         xj = x_ref[j]
@@ -494,7 +518,7 @@ def _ff_fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         if has_b2:
             out = out + b2_ref[0]
         if has_rs:
-            rv = rs_ref[base_row + j, 0]  # SMEM scalar
+            rv = rs_ref[row0 + j, 0]  # SMEM scalar
             out = out * rv.astype(x_ref.dtype)
         o_ref[j] = xj + out
         return _
@@ -506,8 +530,9 @@ def _ff_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                    rs_ref, do_ref,
                    dx_ref, dg_ref, db_ref, dw1_ref, db1_ref, dw2_ref,
                    db2_ref, drs_ref, *, eps, bc, act, has_b1, has_b2,
-                   has_rs):
+                   has_rs, rs_global):
     i = pl.program_id(0)
+    row0 = i * bc if rs_global else 0
 
     @pl.when(i == 0)
     def _init():
@@ -539,9 +564,8 @@ def _ff_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             )
             if has_b2:
                 out = out + b2_ref[0].astype(jnp.float32)
-            row = i * bc + j
-            drs_ref[row, 0] = jnp.sum(dz.astype(jnp.float32) * out)
-            rv = rs_ref[row, 0]  # SMEM scalar
+            drs_ref[row0 + j, 0] = jnp.sum(dz.astype(jnp.float32) * out)
+            rv = rs_ref[row0 + j, 0]  # SMEM scalar
             dout = dz * rv.astype(x_ref.dtype)
         else:
             dout = dz
@@ -612,14 +636,16 @@ def _ff_layer_fwd(x, g, b, w1, b1, w2, b2, rs, act, eps, interpret):
     has_b1, has_b2 = b1 is not None, b2 is not None
     b1_ = b1.reshape(1, -1) if has_b1 else jnp.zeros((1, 1), x.dtype)
     b2_ = b2.reshape(1, -1) if has_b2 else jnp.zeros((1, 1), x.dtype)
-    # per-row scalars live in SMEM (full array, dynamically indexed by
-    # global row = program_id·bc + j; vector-register broadcasts of a [1,1]
-    # tile are not implemented in Mosaic)
-    rs_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # per-row scalars live in SMEM as a per-block window ((bc,1) VECTOR
+    # blocks are rejected by Mosaic's (8,128) tiling rule, a [1,1]->[N,C]
+    # vector broadcast is unimplemented, and a full [B,1] SMEM array
+    # overflows the 1MB scalar memory at large B)
+    rs_spec, rs_global = _rs_spec(rs_b, has_rs, bc)
 
     out = pl.pallas_call(
         functools.partial(_ff_fwd_kernel, eps=eps, bc=bc, act=act,
-                          has_b1=has_b1, has_b2=has_b2, has_rs=bool(has_rs)),
+                          has_b1=has_b1, has_b2=has_b2, has_rs=bool(has_rs),
+                          rs_global=rs_global),
         grid=(B // bc,),
         in_specs=[
             pl.BlockSpec((bc, N, C), lambda i: (i, 0, 0)),
@@ -648,14 +674,16 @@ def _ff_layer_bwd(act, eps, interpret, res, do):
     has_b1, has_b2 = b1 is not None, b2 is not None
     b1_ = b1.reshape(1, -1) if has_b1 else jnp.zeros((1, 1), x.dtype)
     b2_ = b2.reshape(1, -1) if has_b2 else jnp.zeros((1, 1), x.dtype)
-    # per-row scalars live in SMEM (full array, dynamically indexed by
-    # global row = program_id·bc + j; vector-register broadcasts of a [1,1]
-    # tile are not implemented in Mosaic)
-    rs_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # per-row scalars live in SMEM as a per-block window ((bc,1) VECTOR
+    # blocks are rejected by Mosaic's (8,128) tiling rule, a [1,1]->[N,C]
+    # vector broadcast is unimplemented, and a full [B,1] SMEM array
+    # overflows the 1MB scalar memory at large B)
+    rs_spec, rs_global = _rs_spec(rs_b, has_rs, bc)
 
     outs = pl.pallas_call(
         functools.partial(_ff_bwd_kernel, eps=eps, bc=bc, act=act,
-                          has_b1=has_b1, has_b2=has_b2, has_rs=bool(has_rs)),
+                          has_b1=has_b1, has_b2=has_b2, has_rs=bool(has_rs),
+                          rs_global=rs_global),
         grid=(B // bc,),
         in_specs=[
             pl.BlockSpec((bc, N, C), lambda i: (i, 0, 0)),
