@@ -185,10 +185,47 @@ def test_rmsprop_tf_first_step_matches_timm_math():
     updates, _ = tx.update({"kernel": jnp.asarray(g)}, state, params)
 
     rms = alpha * 1.0 + (1 - alpha) * g**2  # init at one
-    mom = 0.9 * 0.0 + g / np.sqrt(rms + eps)
-    expected_update = -lr * mom
+    mom = 0.9 * 0.0 + lr * g / np.sqrt(rms + eps)
+    expected_update = -mom
     np.testing.assert_allclose(np.asarray(updates["kernel"]), expected_update,
                                rtol=1e-5)
+
+
+def test_rmsprop_tf_folds_lr_into_momentum_buffer():
+    """timm RMSpropTF default ``lr_in_momentum=True``: each buffered gradient
+    keeps the lr it was accumulated with.  Under the EffNetV2 warmup ramp this
+    differs from applying the current lr outside the buffer — pin the exact
+    semantics over 3 steps of a ramping schedule against scalar numpy math."""
+    alpha, eps, momentum = 0.9, 1e-3, 0.9
+    lrs = [0.001, 0.004, 0.016]
+    grads = [0.5, -0.3, 0.8]
+    p0 = 1.0
+
+    conf = O.RMSpropTF(type="rmsprop_tf", lr=lrs[0], alpha=alpha, eps=eps,
+                       momentum=momentum)
+    tx = conf.make(lambda c: jnp.asarray(lrs)[c], weight_decay=0.0, mask=None)
+    params = {"kernel": jnp.asarray([p0], jnp.float32)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"kernel": jnp.asarray([g], jnp.float32)},
+                                   state, params)
+        params = optax.apply_updates(params, updates)
+
+    # independent scalar replay of the timm update rule
+    nu, buf, p = 1.0, 0.0, p0
+    for lr, g in zip(lrs, grads):
+        nu = alpha * nu + (1 - alpha) * g * g
+        buf = momentum * buf + lr * g / np.sqrt(nu + eps)
+        p = p - buf
+    np.testing.assert_allclose(np.asarray(params["kernel"]), [p], rtol=1e-6)
+
+    # and prove the OLD (lr-outside) semantics would differ here
+    nu, buf, p_old = 1.0, 0.0, p0
+    for lr, g in zip(lrs, grads):
+        nu = alpha * nu + (1 - alpha) * g * g
+        buf = momentum * buf + g / np.sqrt(nu + eps)
+        p_old = p_old - lr * buf
+    assert abs(p - p_old) > 1e-5
 
 
 def test_make_optimizer_runs_end_to_end():

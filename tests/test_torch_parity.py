@@ -435,26 +435,10 @@ def bn(sd, name):
              "var": t2j(sd[f"{name}.running_var"])})
 
 
-def test_efficientnetv2_logits_match_reference():
-    from models.efficientnet import efficientnetv2 as torch_effv2
-
-    tm = torch_effv2(0.25, 0.25).eval()
-    # give running stats non-trivial values
-    with torch.no_grad():
-        for name, buf in tm.named_buffers():
-            if "running_mean" in name:
-                buf.normal_(0, 0.2)
-            if "running_var" in name:
-                buf.uniform_(0.5, 1.5)
-    sd = tm.state_dict()
-
-    from vision_transformers_tpu.config import registry
-
-    cfg = registry.build("model", {"type": "efficientnetv2", "width": 0.25,
-                                   "depth": 0.25, "n_class": 1000})
-    model = cfg.make()
-    blocks = model.expand_blocks()
-
+def effv2_map(sd, blocks):
+    """Map a reference-torch EfficientNetV2 state_dict to our flax
+    (params, batch_stats) pytrees.  Shared by the logits-parity test and the
+    50-step trajectory-parity test."""
     params = {"logit": lin(sd, "logit")}
     stats = {}
     p, s = bn(sd, "stem.1")
@@ -487,6 +471,29 @@ def test_efficientnetv2_logits_match_reference():
         bp["bn_project"], bs["bn_project"] = bn(sd, f"{t}.project.1")
         params[f"block_{i}"] = bp
         stats[f"block_{i}"] = bs
+    return params, stats
+
+
+def test_efficientnetv2_logits_match_reference():
+    from models.efficientnet import efficientnetv2 as torch_effv2
+
+    tm = torch_effv2(0.25, 0.25).eval()
+    # give running stats non-trivial values
+    with torch.no_grad():
+        for name, buf in tm.named_buffers():
+            if "running_mean" in name:
+                buf.normal_(0, 0.2)
+            if "running_var" in name:
+                buf.uniform_(0.5, 1.5)
+    sd = tm.state_dict()
+
+    from vision_transformers_tpu.config import registry
+
+    cfg = registry.build("model", {"type": "efficientnetv2", "width": 0.25,
+                                   "depth": 0.25, "n_class": 1000})
+    model = cfg.make()
+    blocks = model.expand_blocks()
+    params, stats = effv2_map(sd, blocks)
 
     rng = np.random.default_rng(6)
     x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)

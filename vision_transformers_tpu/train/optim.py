@@ -211,12 +211,19 @@ class RMSpropTFState(NamedTuple):
     ``optimizer.type: rmsprop_tf`` (config/efficientnetv2-s.conf:38-43):
 
         rms_t = rho * rms_{t-1} + (1-rho) * g^2
-        mom_t = mu * mom_{t-1} + lr * g / sqrt(rms_t + eps)
+        mom_t = mu * mom_{t-1} + lr_t * g / sqrt(rms_t + eps)
         p_t   = p_{t-1} - mom_t
+
+    The LEARNING RATE is folded into the momentum buffer (timm's default
+    ``lr_in_momentum=True``) — under a ramping schedule each buffered past
+    gradient keeps the lr it was accumulated with, which diverges from
+    applying the current lr outside the buffer.  ``count`` indexes the lr
+    schedule at each update.
     """
 
     nu: optax.Updates
     momentum: optax.Updates
+    count: jax.Array
 
 
 def _scale_by_learning_rate(learning_rate, flip_sign=True):
@@ -257,12 +264,16 @@ class RMSpropTF(TypedConfig):
     def make(self, learning_rate, weight_decay: float, mask) -> optax.GradientTransformation:
         # timm RMSpropTF couples weight decay into the gradient (L2 style)
         # before the rms update — mirror that ordering.
+        lr_fn = learning_rate if callable(learning_rate) else (lambda c: learning_rate)
+
         def init_fn(params):
             nu = jax.tree.map(jnp.ones_like, params)
             mom = jax.tree.map(jnp.zeros_like, params)
-            return RMSpropTFState(nu=nu, momentum=mom)
+            return RMSpropTFState(nu=nu, momentum=mom,
+                                  count=jnp.zeros((), jnp.int32))
 
         def update_fn(updates, state, params=None):
+            lr = lr_fn(state.count)
             nu = jax.tree.map(
                 lambda n, g: self.alpha * n + (1 - self.alpha) * jnp.square(g),
                 state.nu,
@@ -271,13 +282,16 @@ class RMSpropTF(TypedConfig):
             scaled = jax.tree.map(
                 lambda g, n: g * jax.lax.rsqrt(n + self.eps), updates, nu
             )
-            mom = jax.tree.map(lambda m, s: self.momentum * m + s, state.momentum, scaled)
-            return mom, RMSpropTFState(nu=nu, momentum=mom)
+            # buf = mu*buf + lr*g/sqrt(nu+eps); p -= buf  (lr INSIDE the buffer)
+            mom = jax.tree.map(lambda m, s: self.momentum * m + lr * s,
+                               state.momentum, scaled)
+            out = jax.tree.map(lambda m: -m, mom)
+            return out, RMSpropTFState(nu=nu, momentum=mom,
+                                       count=state.count + 1)
 
         return optax.chain(
             _wd_transform(weight_decay, mask),  # L2 into grad
             optax.GradientTransformation(init_fn, update_fn),
-            _scale_by_learning_rate(learning_rate),
         )
 
 
