@@ -9,7 +9,7 @@ from vision_transformers_tpu.config.schema import load_config
 from vision_transformers_tpu.train.dino import _last_layer_mask
 
 
-def _tiny_dino_conf(tmp_path):
+def _tiny_dino_conf(tmp_path, extra=()):
     import os
 
     path = os.path.join(os.path.dirname(__file__), "..", "configs",
@@ -22,6 +22,7 @@ def _tiny_dino_conf(tmp_path):
         "task.global_crop_size=32", "task.local_crop_size=16",
         "task.n_local_crop=2", "dataset_path=/nonexistent",
         "checker.storage=[]", "precision=f32", "data_backend=synthetic",
+        *extra,
     ])
 
 
@@ -95,3 +96,41 @@ def test_dino_loss_uniform_teacher_is_maximal_entropy():
     center = jnp.zeros((1, dim))
     loss = dino_loss(student, teacher, center, 0.04, n_crop)
     np.testing.assert_allclose(float(loss), np.log(dim), rtol=1e-5)
+
+
+def test_dino_step_sharded_center_matches_single_device(tmp_path):
+    """The center EMA's global batch mean is the one collective the reference
+    writes by hand (``DINOLoss.update_center`` all_reduce, loss.py:144-151).
+    Under the sharded jit it must be numerically the same on the forced
+    8-device data mesh as on a single device — same data, same seeds
+    (round-2 verdict item 7)."""
+    import jax
+
+    from vision_transformers_tpu.train.checkpoint import restore_checkpoint
+    from vision_transformers_tpu.train.dino import train_dino
+
+    assert len(jax.devices()) == 8  # conftest forces the 8-CPU mesh
+
+    out = {}
+    for n_dev, tag in ((1, "one"), (0, "eight")):
+        conf = _tiny_dino_conf(tmp_path, extra=[
+            "training.epoch=1",
+            f"checker.storage=[{{type: local, path: {tmp_path}/{tag}}}]",
+        ])
+        conf.n_device = n_dev
+        metrics = train_dino(conf)
+        state = restore_checkpoint(f"{tmp_path}/{tag}/epoch-001")["state"]
+        out[tag] = (metrics, state)
+
+    m1, s1 = out["one"]
+    m8, s8 = out["eight"]
+    np.testing.assert_allclose(m8["loss"], m1["loss"], rtol=1e-4)
+    center1, center8 = np.asarray(s1["center"]), np.asarray(s8["center"])
+    assert np.abs(center8).max() > 0  # the center actually moved
+    np.testing.assert_allclose(center8, center1, rtol=1e-4, atol=1e-6)
+    # student trajectories agree too (grad all-reduce path)
+    p1 = jax.tree.leaves(s1["student"])
+    p8 = jax.tree.leaves(s8["student"])
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-5)

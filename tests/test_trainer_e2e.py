@@ -90,3 +90,26 @@ def test_progressive_effnetv2_bn_ema_across_stage_boundary(tmp_path):
     assert np.isfinite(metrics["loss"])
     assert np.isfinite(metrics["valid_loss"])  # EMA + EMA-BN eval at 48px
     assert (tmp_path / "ck" / "epoch-002").exists()
+
+
+def test_log_freq_drives_intra_epoch_logging(tmp_path, capsys):
+    """conf ``log_freq`` observably produces intra-epoch progress lines
+    (reference train.py:321-330; the conf key was parsed-but-dead before
+    round 3).  The logged loss is the lagging (step i-1) device value."""
+    from vision_transformers_tpu.train.trainer import train_classification
+
+    conf = _conf(tmp_path, **{"training.epoch": 1, "log_freq": 1})
+    assert conf.log_freq == 1
+    train_classification(conf)
+    out = capsys.readouterr().out
+    # synthetic epoch_len = 4 steps at batch 16 -> lagging logs at steps 1..3
+    lines = [l for l in out.splitlines() if "epoch 0;" in l and "loss:" in l]
+    assert len(lines) >= 2, out
+    assert "lr:" in lines[0] and "img/s:" in lines[0]
+
+    # log_freq larger than the epoch -> no intra-epoch lines
+    conf2 = _conf(tmp_path, **{"training.epoch": 1, "log_freq": 1000,
+                               "checker.storage": f"[{{type: local, path: {tmp_path}/ck2}}]"})
+    train_classification(conf2)
+    out2 = capsys.readouterr().out
+    assert not [l for l in out2.splitlines() if "epoch 0;" in l and "img/s:" in l]

@@ -255,11 +255,28 @@ def train_classification(conf: ImageNetConfig) -> dict:
             profiling = bool(conf.profile_dir) and epoch == start_epoch
             if profiling:
                 jax.profiler.start_trace(conf.profile_dir)
+            # intra-epoch progress every ``log_freq`` steps (reference
+            # train.py:321-330).  The logged loss is the LAGGING device value
+            # (step i-1's metrics, fetched while step i runs) so the log adds
+            # no pipeline stall — step i-1's result is already materialized
+            # by the time step i has been dispatched.
+            log_freq = conf.log_freq if is_primary() else 0
+            prev_metrics = None
             t_fetch = time.perf_counter()
             for batch_data in train_iter(epoch):
                 data_m.update(time.perf_counter() - t_fetch)
                 batch_data = meshlib.shard_batch(mesh, batch_data)
+                if log_freq and n_steps % log_freq == 0 and prev_metrics is not None:
+                    lag_loss = float(prev_metrics["loss"])
+                    lag_lr = float(schedule(jnp.maximum(state.step - 1, 0)))
+                    logger.info(
+                        f"epoch {epoch}; {n_steps}/{epoch_len}; "
+                        f"loss: {lag_loss:.5f}; lr: {lag_lr:.5f}; "
+                        f"img/s: {img_count / max(time.perf_counter() - t0, 1e-9):.1f}; "
+                        f"data: {data_m.avg:.4f}"
+                    )
                 state, metrics = train_step(state, batch_data, rng)
+                prev_metrics = metrics
                 loss_sum = metrics["loss"] if loss_sum is None \
                     else loss_sum + metrics["loss"]
                 img_count += batch
@@ -278,12 +295,16 @@ def train_classification(conf: ImageNetConfig) -> dict:
             lr = float(schedule(jnp.maximum(state.step - 1, 0)))
 
             # ---- valid (EMA model when enabled; reference train.py:192-198) ----
-            sums = {"loss": 0.0, "prec1": 0.0, "prec5": 0.0, "n": 0.0}
+            # sums stay ON-DEVICE across batches (lazy adds) — one host fetch
+            # after the loop instead of 4 syncs per batch
+            dev_sums = None
             for batch_data in valid_iter():
                 batch_data = meshlib.shard_batch(mesh, batch_data)
                 out = eval_step(state, batch_data)
-                for k in sums:
-                    sums[k] += float(out[k])
+                dev_sums = out if dev_sums is None else \
+                    jax.tree.map(jnp.add, dev_sums, out)
+            sums = {k: float(v) for k, v in dev_sums.items()} if dev_sums \
+                else {"loss": 0.0, "prec1": 0.0, "prec5": 0.0, "n": 0.0}
             n = max(sums["n"], 1.0)
             final_metrics = {
                 "epoch": epoch,
