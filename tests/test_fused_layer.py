@@ -275,3 +275,43 @@ def test_twins_layer_impl_matches_einsum():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4, err_msg=str(pa))
+
+
+def test_bc_env_override_rounds_to_divisor(monkeypatch):
+    """A VTX_FL_BC that doesn't divide the batch must not silently skip tail
+    rows (grid = B // bc): the override rounds down to a divisor of B."""
+    from vision_transformers_tpu.ops.fused_attention import _env_bc
+
+    assert _env_bc("8", 24) == 8
+    assert _env_bc("7", 24) == 6   # 7 ∤ 24 -> 6
+    assert _env_bc("5", 24) == 4
+    assert _env_bc("100", 24) == 24  # capped at B
+    assert _env_bc("1", 24) == 1
+
+
+def test_ff_kernel_eval_with_drop_ff_conf(monkeypatch):
+    """A conf with drop_ff > 0 must still evaluate through the fused FF
+    kernel: dropout is a no-op at eval, so the guard may not reject it
+    (round-2 advice item 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vision_transformers_tpu import ops
+    from vision_transformers_tpu.config import registry
+
+    cfg = registry.build("model", {
+        "type": "vit", "image_size": 32, "window_size": 4, "n_class": 5,
+        "depth": 1, "dim": 32, "n_head": 2, "dim_ff": 64, "drop_ff": 0.1,
+    })
+    model = cfg.make()
+    x = jnp.ones((2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ops.set_attention_impl("layer", interpret=True)
+    ops.set_ff_kernel(True)
+    try:
+        out = model.apply({"params": params}, x, deterministic=True)
+        assert out.shape == (2, 5)
+        assert bool(jnp.isfinite(out).all())
+    finally:
+        ops.set_attention_impl(None)
+        ops.set_ff_kernel(None)

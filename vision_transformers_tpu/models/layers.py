@@ -314,8 +314,12 @@ class FeedForward(nn.Module):
 
         if ln is not None:
             act = {jax.nn.silu: "silu", jax.nn.gelu: "gelu"}.get(self.activation)
-            assert act is not None and self.dropout == 0.0 and out_dim == in_dim, \
-                "fused FF layer needs silu/gelu, no dropout, square dims"
+            # dropout is a no-op when deterministic (eval), so a drop_ff > 0
+            # conf may still take the fused path at eval time — mirror the
+            # callers' use_layer condition
+            assert act is not None and out_dim == in_dim \
+                and (deterministic or self.dropout == 0.0), \
+                "fused FF layer needs silu/gelu, active-dropout-free, square dims"
             from .. import ops as _ops
 
             g, bb, eps = ln

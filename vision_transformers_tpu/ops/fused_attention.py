@@ -51,6 +51,16 @@ def _cp(interpret):
     return None if interpret else _COMPILER_PARAMS
 
 
+def _env_bc(env: str, B: int) -> int:
+    """Validate a VTX_*_BC tuning override: a chunk size that doesn't divide
+    the batch would leave ``grid=(B // bc,)`` silently skipping the tail rows
+    (unwritten output = garbage).  Round DOWN to the nearest divisor of B."""
+    bc = max(1, min(int(env), B))
+    while B % bc != 0:
+        bc -= 1
+    return bc
+
+
 __all__ = ["fused_attention", "fused_attention_qkv"]
 
 

@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .fused_attention import _cp  # shared compiler params (vmem limit)
+from .fused_attention import _cp, _env_bc  # shared compiler params (vmem limit)
 
 __all__ = ["fused_attention_block"]
 
@@ -210,7 +210,7 @@ def _pick_bc(B: int, N: int, C: int, HD: int, H: int, itemsize: int,
              bwd: bool, has_extra: bool) -> int:
     env = os.environ.get("VTX_FB_BC")
     if env:
-        return int(env)
+        return _env_bc(env, B)
     budget = 9 * 1024 * 1024
     if bwd:
         # x, do, dx [N,C] + qkv, dqkv [N,3HD] + acc, dacc [N,HD] + all-head

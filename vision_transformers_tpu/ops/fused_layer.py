@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attention import _cp
+from .fused_attention import _cp, _env_bc
 from .fused_block import _extra_form, _head_slices
 
 __all__ = ["fused_attention_layer", "fused_ff_layer"]
@@ -282,7 +282,7 @@ def _attn_layer_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
 def _pick_bc_attn(B, N, C, HD, H, itemsize, bwd, has_extra):
     env = os.environ.get("VTX_FL_BC")
     if env:
-        return int(env)
+        return _env_bc(env, B)
     budget = 9 * 1024 * 1024
     if bwd:
         per_row = (4 * N * C + 8 * N * HD) * itemsize \
@@ -605,7 +605,7 @@ def _ff_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 def _pick_bc_ff(B, N, C, F, itemsize, bwd):
     env = os.environ.get("VTX_FL_BC")
     if env:
-        return int(env)
+        return _env_bc(env, B)
     budget = 9 * 1024 * 1024
     if bwd:
         per_row = (4 * N * C + 4 * N * F) * itemsize + \
