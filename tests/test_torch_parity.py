@@ -555,3 +555,23 @@ def test_nfefficientnetv2_logits_match_reference():
         theirs = tm(torch.tensor(x.transpose(0, 3, 1, 2)))
     np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_short_sequence_row_packing_is_exact():
+    """MultiHeadedAttention packs short sequences (DINO 37-token locals) into
+    block-diagonal (p·n)-token attention; masked scores underflow to exact
+    zeros, so packed == unpacked to f32 exactness."""
+    from vision_transformers_tpu.models.vit import MultiHeadedAttention
+
+    rng = np.random.default_rng(11)
+    for b, n in ((6, 37), (4, 37), (5, 37)):  # pack 3, 2, 1(prime b)
+        x = jnp.asarray(rng.normal(size=(b, n, 32)).astype(np.float32))
+        m = MultiHeadedAttention(n_head=2)
+        params = m.init(jax.random.PRNGKey(0), x)
+        packed = m.apply(params, x)
+
+        # unpacked reference: run each row alone (pack impossible at b=1)
+        rows = [m.apply(params, x[i:i + 1]) for i in range(b)]
+        unpacked = jnp.concatenate(rows, axis=0)
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(unpacked),
+                                   rtol=2e-5, atol=2e-6)

@@ -21,6 +21,7 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..config.registry import TypedConfig, register
@@ -84,13 +85,32 @@ class MultiHeadedAttention(nn.Module):
             # packed-qkv kernel: reads the projection output [b,n,3hd]
             # untouched and writes [b,n,hd] — no HBM relayout on either side
             out = _ops.fused_attention_qkv(qkv, self.n_head, None, scale)
-        else:
-            qkv = qkv.reshape(b, n, 3, self.n_head, dim_head)
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b, n, h, d]
-            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, dim)
+            return dense_apply(out, wout, bout, self.dtype)
+
+        # Short sequences (DINO's 37-token local crops) underuse the MXU:
+        # pack ``pack`` row-sequences into one (pack·n)-token attention with
+        # a block-diagonal −1e9 mask.  The [b,n,·]→[b/p,p·n,·] view merges
+        # adjacent dims (no transpose), and the math is exact — masked
+        # scores underflow to exactly 0 after the row-max subtraction, and
+        # adding exact zeros leaves the softmax sums unchanged.
+        pack = 1
+        if n <= 64:
+            for p in (3, 2):
+                if b % p == 0 and p * n <= 128:
+                    pack = p
+                    break
+        pn = pack * n
+        qkv = qkv.reshape(b // pack, pn, 3, self.n_head, dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b/p, pn, h, d]
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        attn = attn.astype(jnp.float32)
+        if pack > 1:
+            eye = np.kron(np.eye(pack, dtype=np.float32),
+                          np.ones((n, n), np.float32))
+            attn = attn + jnp.asarray(np.where(eye > 0, 0.0, -1e9))
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, dim)
         return dense_apply(out, wout, bout, self.dtype)
 
 
