@@ -120,6 +120,57 @@ def k_noloop2(x_ref, g_ref, b_ref, wqkv_ref, wout_ref, o_ref):
     jax.lax.fori_loop(0, BC // 2, body, 0)
 
 
+PAD = 104  # per-head key section, 8-aligned (98 -> 104)
+
+
+def k_headstack(x_ref, g_ref, b_ref, wqkv_ref, wout_ref, o_ref):
+    """All-head attention dots as single MXU ops via head-masked key/value
+    stacking: k_aug[104h+j] = k_j ⊙ mask_h, scores = k_aug·qᵀ [312, 98]
+    (K=96), softmax over key-sublanes per 104-group, out = p_Tᵀ·v_aug
+    (K=312) — per-head results land lane-concatenated for free."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (H * PAD, 1), 0)
+    padmask = jnp.where(subl % PAD < N, 0.0, -1e30).astype(jnp.float32)
+
+    def body(j, _):
+        xj = x_ref[j]
+        u = _ln(xj.astype(jnp.float32), g_ref[0], b_ref[0]).astype(x_ref.dtype)
+        qkv = jax.lax.dot_general(u, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32
+                                  ).astype(x_ref.dtype)
+        q, k, v = qkv[:, :HD], qkv[:, HD:2 * HD], qkv[:, 2 * HD:]
+
+        def stack(t):
+            # one misaligned pad 98->104, then aligned 104-row concats; pad
+            # rows are masked out downstream so their contents don't matter
+            t_pad = jnp.pad(t, ((0, PAD - N), (0, 0)))
+            pieces = []
+            for h in range(H):
+                m = ((lane >= h * D) & (lane < (h + 1) * D)).astype(t.dtype)
+                pieces.append(t_pad * m)
+            return jnp.concatenate(pieces, axis=0)  # [H*PAD, C]
+
+        k_aug = stack(k)
+        v_aug = stack(v)
+        s = jax.lax.dot_general(k_aug, q, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * SCALE + padmask  # [H*PAD, N] key-major
+        s3 = s.reshape(H, PAD, N)
+        m3 = jnp.max(s3, axis=1, keepdims=True)
+        p3 = jnp.exp(s3 - m3)
+        p3 = p3 / jnp.sum(p3, axis=1, keepdims=True)
+        p_T = p3.reshape(H * PAD, N).astype(x_ref.dtype)
+        acc = jax.lax.dot_general(p_T, v_aug, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32
+                                  ).astype(x_ref.dtype)  # [N, C]
+        a = jax.lax.dot_general(acc, wout_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32
+                                ).astype(x_ref.dtype)
+        o_ref[j] = xj + a
+        return _
+    jax.lax.fori_loop(0, BC, body, 0)
+
+
 def _pc(kernel):
     return pl.pallas_call(
         kernel,
@@ -162,13 +213,20 @@ def main():
     wqkv = jnp.asarray(rng.normal(size=(C, 3 * HD)) * 0.05, DT)
     wout = jnp.asarray(rng.normal(size=(HD, C)) * 0.05, DT)
     kernels = {"full": k_full, "projonly": k_projonly,
-               "attnonly": k_attnonly, "noloop2": k_noloop2}
+               "attnonly": k_attnonly, "noloop2": k_noloop2,
+               "headstack": k_headstack}
+    outs = {}
     for name in variants:
         fn = jax.jit(lambda x, g, b, w1, w2, k=kernels[name]: _pc(k)(x, g, b, w1, w2))
         ms = timeit(fn, x, g, b, wqkv, wout)
+        outs[name] = fn(x, g, b, wqkv, wout)
         gf = {"full": 44.6, "projonly": 29.6, "attnonly": 15.1,
-              "noloop2": 44.6}[name]
+              "noloop2": 44.6, "headstack": 44.6}[name]
         print(f"{name:10s} {ms:7.2f} ms   ~{gf / ms:6.1f} TF/s", flush=True)
+    if "full" in outs and "headstack" in outs:
+        d = jnp.max(jnp.abs(outs["full"].astype(jnp.float32)
+                            - outs["headstack"].astype(jnp.float32)))
+        print(f"headstack max|diff| vs full: {float(d):.5f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -315,3 +315,45 @@ def test_ff_kernel_eval_with_drop_ff_conf(monkeypatch):
     finally:
         ops.set_attention_impl(None)
         ops.set_ff_kernel(None)
+
+
+def test_xla_backward_matches_pallas_backward():
+    """Round 3: the fused attention layer can differentiate through a jnp
+    reference (VTX_FL_BWD=xla — an A/B switch; the Pallas kernel stays the
+    measured default) — its grads must match the hand-written Pallas
+    backward kernel."""
+    import numpy as np
+
+    from vision_transformers_tpu.ops import fused_layer as FL
+
+    B, N, C, H, D = 4, 12, 16, 2, 8
+    HD = H * D
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * HD)).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.normal(size=3 * HD).astype(np.float32) * 0.1)
+    wout = jnp.asarray(rng.normal(size=(HD, C)).astype(np.float32) * 0.1)
+    bout = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    extra = jnp.asarray(rng.normal(size=(2, H, N, N)).astype(np.float32))
+    rs = jnp.asarray(rng.uniform(0.5, 1.5, B).astype(np.float32))
+    scale = 1.0 / np.sqrt(D)
+    do = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+
+    res = (x, g, b, wqkv, bqkv, wout, bout, extra, rs)
+    out_xla = FL._attn_layer_bwd_xla(H, scale, 1e-6, res, do)
+    out_pl = FL._attn_layer_bwd(H, scale, 1e-6, True, res, do)
+    names = ("dx", "dg", "db", "dwqkv", "dbqkv", "dwout", "dbout",
+             "dextra", "drs")
+    for name, a, bb in zip(names, out_xla, out_pl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+    # the fwd output the xla bwd differentiates matches the kernel fwd
+    ref = FL._attn_layer_ref(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
+                             H, scale, 1e-6)
+    ker = FL.fused_attention_layer(x, g, b, wqkv, bqkv, wout, bout, H,
+                                   extra, rs, scale, 1e-6, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(ker),
+                               rtol=2e-5, atol=2e-5)

@@ -381,7 +381,76 @@ def _attn_layer_fwd(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
     return out, (x, g, b, wqkv, bqkv, wout, bout, extra, rs)
 
 
+def _attn_layer_ref(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
+                    n_head, scale, eps):
+    """Pure-jnp reference of the fused attention layer — same math and cast
+    points as the Pallas kernel (LN stats f32, dots f32-accumulated then
+    cast to the compute dtype, softmax f32).  Used by the XLA backward."""
+    B, N, C = x.shape
+    HD = wqkv.shape[1] // 3
+    D = HD // n_head
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    u = ((xf - mu) * jax.lax.rsqrt(var + eps) * g.astype(jnp.float32)
+         + b.astype(jnp.float32)).astype(x.dtype)
+    qkv = jnp.einsum("bnc,ck->bnk", u, wqkv,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if bqkv is not None:
+        qkv = qkv + bqkv
+    q = qkv[..., :HD].reshape(B, N, n_head, D)
+    k = qkv[..., HD:2 * HD].reshape(B, N, n_head, D)
+    v = qkv[..., 2 * HD:].reshape(B, N, n_head, D)
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if extra is not None:
+        if extra.ndim == 4:  # grouped [G, H, N, N]
+            G = extra.shape[0]
+            s = (s.reshape(G, B // G, n_head, N, N)
+                 + extra.astype(jnp.float32)[:, None]).reshape(B, n_head, N, N)
+        else:
+            e = jnp.broadcast_to(extra.astype(jnp.float32), (n_head, N, N))
+            s = s + e[None]
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    acc = jnp.einsum("bhnm,bmhd->bnhd", p, v,
+                     preferred_element_type=jnp.float32
+                     ).astype(x.dtype).reshape(B, N, HD)
+    a = jnp.einsum("bnk,kc->bnc", acc, wout,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if bout is not None:
+        a = a + bout
+    if rs is not None:
+        a = a * rs[:, None, None].astype(a.dtype)
+    return x + a
+
+
+def _bwd_impl() -> str:
+    """Backward implementation for the fused attention layer.
+
+    "pallas" (default, measured): the hand-written kernel recomputes the
+    forward in VMEM.  "xla" differentiates the jnp reference — tried in
+    round 3 against the dependency-serialization tax, and REGRESSED the
+    full Swin-S step 906 → 626 img/s/chip: jax.vjp re-runs the whole XLA
+    forward inside the backward and materializes the [B,H,N,N]
+    probabilities through HBM (~226 MB at stage 1), which costs far more
+    than the serialization it avoids.  Kept as a switch for future A/Bs."""
+    return os.environ.get("VTX_FL_BWD", "pallas")
+
+
+def _attn_layer_bwd_xla(n_head, scale, eps, res, do):
+    x, g, b, wqkv, bqkv, wout, bout, extra, rs = res
+
+    def f(x, g, b, wqkv, bqkv, wout, bout, extra, rs):
+        return _attn_layer_ref(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
+                               n_head, scale, eps)
+
+    _, vjp = jax.vjp(f, x, g, b, wqkv, bqkv, wout, bout, extra, rs)
+    return vjp(do.astype(x.dtype))
+
+
 def _attn_layer_bwd(n_head, scale, eps, interpret, res, do):
+    if not interpret and _bwd_impl() == "xla":
+        return _attn_layer_bwd_xla(n_head, scale, eps, res, do)
     x, g, b, wqkv, bqkv, wout, bout, extra, rs = res
     B, N, C = x.shape
     three_hd = wqkv.shape[1]
