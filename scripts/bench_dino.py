@@ -30,6 +30,7 @@ def main():
             "training.epoch=1", f"training.dataloader.batch_size={batch}",
             "data_backend=synthetic", "dataset_path=/none",
             "checker.storage=[]",
+            *sys.argv[2:],  # extra key=value overrides for ablations
         ])
     # time the jitted step directly (same pattern as train_dino)
     from vision_transformers_tpu.parallel import mesh as meshlib
@@ -130,6 +131,15 @@ def main():
         print(json.dumps({"dino_batch_per_chip": batch,
                           "ms_per_step": round(best / n_iter * 1000, 2),
                           "img_per_sec_per_chip": round(ips, 1)}))
+
+        if os.environ.get("VTX_PROFILE"):
+            outdir = os.environ["VTX_PROFILE"]
+            os.system(f"rm -rf {outdir}")
+            with jax.profiler.trace(outdir):
+                for _ in range(3):
+                    state, loss = step_jit(state, crops, rng, *args)
+                _ = float(loss)
+            print("profile written to", outdir)
 
 
 if __name__ == "__main__":

@@ -206,14 +206,6 @@ def _attn_layer_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
         acc = jnp.concatenate(outs, axis=-1)
 
         if has_rs:
-            # drs = Σ dz ⊙ a  (a = branch output pre-scale; recompute)
-            a = jax.lax.dot_general(
-                acc, wout_ref[...], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if has_bout:
-                a = a + bout_ref[0].astype(jnp.float32)
-            drs_ref[row0 + j, 0] = jnp.sum(dz.astype(jnp.float32) * a)
             rv = rs_ref[row0 + j, 0]  # SMEM scalar
             da = dz * rv.astype(x_ref.dtype)
         else:
@@ -226,10 +218,27 @@ def _attn_layer_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
         if has_bout:
             dbout_ref[...] += jnp.sum(da.astype(jnp.float32), axis=0,
                                       keepdims=True)
-        dacc = jax.lax.dot_general(
-            da, wout_ref[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x_ref.dtype)
+        if has_rs:
+            # drs = Σ dz ⊙ a with a = acc·wout + bout; reassociate so no
+            # extra dot is needed: Σ dz⊙(acc·wout) = Σ (dz·woutᵀ)⊙acc, and
+            # dacc = rv·(dz·woutᵀ) reuses the same product.
+            dacc0 = jax.lax.dot_general(
+                dz, wout_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            drs = jnp.sum(dacc0 * acc.astype(jnp.float32))
+            if has_bout:
+                drs = drs + jnp.sum(
+                    dz.astype(jnp.float32)
+                    * bout_ref[0].astype(jnp.float32))
+            drs_ref[row0 + j, 0] = drs
+            rv = rs_ref[row0 + j, 0]
+            dacc = (dacc0 * rv.astype(jnp.float32)).astype(x_ref.dtype)
+        else:
+            dacc = jax.lax.dot_general(
+                da, wout_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x_ref.dtype)
 
         dqs, dks, dvs = [], [], []
         for h in range(n_head):
