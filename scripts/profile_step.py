@@ -27,7 +27,7 @@ def main():
     from vision_transformers_tpu.train import engine
     from vision_transformers_tpu.train.optim import make_optimizer
     from vision_transformers_tpu.config.schema import Training
-    from scripts.bench_impls import ARCHS
+    from scripts.bench_impls import ARCHS, IMG_SIZE
 
     ops.set_attention_impl(None if impl == "auto" else impl)
     mesh = meshlib.make_mesh()
@@ -39,7 +39,8 @@ def main():
         clip_grad_norm=5.0,
     )
     rng = jax.random.PRNGKey(0)
-    shape = (2, 224, 224, 3)
+    size = IMG_SIZE.get(arch, 224)
+    shape = (2, size, size, 3)
     with mesh:
         params_shape = jax.eval_shape(lambda: model.init(rng, jnp.zeros(shape)))["params"]
         tx = make_optimizer(train_conf, params_shape, lambda c: 1e-3)
@@ -48,7 +49,7 @@ def main():
         step = jax.jit(engine.make_train_step(model, tx), donate_argnums=(0,))
         host = {
             "image": np.random.default_rng(0).normal(
-                size=(batch, 224, 224, 3)).astype(np.float32),
+                size=(batch, size, size, 3)).astype(np.float32),
             "label1": np.zeros(batch, np.int32),
             "label2": np.zeros(batch, np.int32),
             "ratio": np.ones(batch, np.float32),

@@ -17,6 +17,7 @@ TPU-native design notes:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -94,7 +95,7 @@ class MultiHeadedAttention(nn.Module):
         # scores underflow to exactly 0 after the row-max subtraction, and
         # adding exact zeros leaves the softmax sums unchanged.
         pack = 1
-        if n <= 64:
+        if n <= 64 and os.environ.get("VTX_PACK_SHORT", "1") != "0":
             for p in (3, 2):
                 if b % p == 0 and p * n <= 128:
                     pack = p
