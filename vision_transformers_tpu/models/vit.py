@@ -358,7 +358,12 @@ class DINOHead(nn.Module):
         if not self.norm_last_layer:
             g = self.param("last_g", nn.initializers.ones, (self.out_dim,), jnp.float32)
             w = w * g
-        return h @ w
+        # The [256, 65536] prototype matmul is the single widest dot in the
+        # DINO step; run it at the model compute dtype (f32 accumulation via
+        # preferred_element_type) instead of full f32 — the normalization
+        # above stays f32.  No-op when the model itself is f32.
+        return jax.lax.dot(h.astype(self.dtype), w.astype(self.dtype),
+                           preferred_element_type=jnp.float32)
 
 
 class DINOModel(nn.Module):
