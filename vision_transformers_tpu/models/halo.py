@@ -109,6 +109,45 @@ class HaloAttention(nn.Module):
                        kernel_init=trunc_normal_init(0.02), name="weight")(x)
         q, kv = qkv[..., :inner], qkv[..., inner:]
 
+        pos, max_pos = halo_position_index(window, halo)
+        table = self.param("rel_pos", nn.initializers.zeros,
+                           (max_pos + 1, self.n_head), jnp.float32)
+        bias = table[pos]  # [w², k², head] — constant-folded gather
+
+        from .. import ops as _ops
+
+        scale = 1.0 / math.sqrt(self.dim_head)
+        impl = _ops.halo_impl(window, halo)
+        if impl != "einsum" and not (deterministic or self.dropout == 0.0):
+            impl = "einsum"  # attention dropout needs materialized probs
+        if impl == "direct":
+            # Map-resident TPU kernel (ops/fused_halo.py): NO neighborhood
+            # gather — the kernel reads the padded feature map once per
+            # batch item and windows it with aligned in-kernel slices
+            out = _ops.halo_attention_direct(
+                q, kv, bias.transpose(2, 0, 1), window, halo, self.n_head,
+                scale)
+            return nn.Dense(dim, dtype=self.dtype,
+                            kernel_init=trunc_normal_init(0.02),
+                            name="linear")(out)
+        if impl == "gather":
+            # gather + rectangular kernel: queries window-partitioned with
+            # heads left on lanes; kv neighborhoods consumed EXACTLY as the
+            # tiled-slice gather emits them — no per-head transposes, no
+            # [.., w², k²] score materialization in HBM
+            m = window * window
+            qw = q.reshape(b, hs, window, ws, window, inner)
+            qw = qw.transpose(0, 1, 3, 2, 4, 5).reshape(b * n_win, m, inner)
+            nb = halo_neighborhoods(kv, window, halo)
+            nb = nb.reshape(b * n_win, k_size * k_size, 2 * inner)
+            out = _ops.halo_attention(qw, nb, bias.transpose(2, 0, 1),
+                                      self.n_head, scale)
+            out = out.reshape(b, hs, ws, window, window, inner)
+            out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, inner)
+            return nn.Dense(dim, dtype=self.dtype,
+                            kernel_init=trunc_normal_init(0.02),
+                            name="linear")(out)
+
         # queries: non-overlapping windows → [b, head, S, w², d]
         q = q.reshape(b, hs, window, ws, window, self.n_head, self.dim_head)
         q = q.transpose(0, 5, 1, 3, 2, 4, 6).reshape(
@@ -123,13 +162,7 @@ class HaloAttention(nn.Module):
         key = nb[:, :, :, 0].transpose(0, 3, 1, 2, 4)    # [b, head, S, k², d]
         value = nb[:, :, :, 1].transpose(0, 3, 1, 2, 4)
 
-        scale = 1.0 / math.sqrt(self.dim_head)
         score = jnp.einsum("bhsqd,bhskd->bhsqk", q, key) * scale
-
-        pos, max_pos = halo_position_index(window, halo)
-        table = self.param("rel_pos", nn.initializers.zeros,
-                           (max_pos + 1, self.n_head), jnp.float32)
-        bias = table[pos]  # [w², k², head]
         score = score + bias.transpose(2, 0, 1).astype(score.dtype)[None, :, None]
 
         attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)

@@ -29,6 +29,7 @@ from typing import Optional
 
 from . import fused_attention as fused_attention_mod  # noqa: F401
 from . import fused_block as fused_block_mod  # noqa: F401
+from . import fused_halo as fused_halo_mod  # noqa: F401
 from . import fused_layer as fused_layer_mod  # noqa: F401
 
 _FORCED: Optional[str] = None
@@ -99,6 +100,43 @@ def fused_ff_layer(x, ln_scale, ln_bias, w1, b1, w2, b2, activation="silu",
     return fused_layer_mod.fused_ff_layer(
         x, ln_scale, ln_bias, w1, b1, w2, b2, activation, row_scale, eps,
         _INTERPRET)
+
+
+def halo_attention(q, kv, bias, n_head, scale=None):
+    """Rectangular Halo window attention in gather-native layout
+    ([B·win, w², C] × [B·win, k², 2C] → [B·win, w², C]); see
+    ops/fused_halo.py."""
+    return fused_halo_mod.halo_attention(q, kv, bias, n_head, scale,
+                                         _INTERPRET)
+
+
+def halo_attention_direct(q, kv, bias, window, halo, n_head, scale=None):
+    """Halo attention straight off the [b, H, W, ·] feature map — no
+    neighborhood gather at all (see ops/fused_halo.py)."""
+    return fused_halo_mod.halo_attention_direct(q, kv, bias, window, halo,
+                                                n_head, scale, _INTERPRET)
+
+
+def halo_impl(window: int = 8, halo: int = 1) -> str:
+    """Implementation decision for HaloAttention: "direct" (map-resident
+    kernel, the measured default) | "gather" (gather + rectangular kernel)
+    | "einsum".  Honors the global impl force and ``VTX_HALO_IMPL``."""
+    env = os.environ.get("VTX_HALO_IMPL")
+    if env in ("direct", "gather", "einsum"):
+        return env
+    if _FORCED == "einsum":
+        return "einsum"
+    if _FORCED is None:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return "einsum"  # Mosaic kernels only compile for TPU
+    # the direct kernel needs halo ≤ w/2 (band fold) and, on real TPUs,
+    # 8 | window for aligned col slices; interpret mode (tests) has no
+    # tiling constraint
+    if 2 * halo <= window and (window % 8 == 0 or _INTERPRET):
+        return "direct"
+    return "gather"
 
 
 _FF_KERNEL_FORCED: Optional[bool] = None
