@@ -100,3 +100,50 @@ def test_dino_head_weight_norm_is_unit_norm():
     assert out.shape == (2, 32)
     # logits bounded by 1 since inputs are L2-normalized and weights unit-norm
     assert float(jnp.abs(out).max()) <= 1.0 + 1e-5
+
+
+def test_model_level_crop_packing_exact():
+    """VTX_PACK_MODEL packs short crops 4-to-a-row for the whole stack with
+    a block-diagonal mask; features must be bit-comparable to the unpacked
+    forward (same params, deterministic)."""
+    import os
+
+    from vision_transformers_tpu.models.vit import VisionTransformer
+
+    model = VisionTransformer(image_size=(48, 48), patch_size=8, depth=2,
+                              dim=32, n_head=2, dim_ff=64, n_class=None)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(8, 48, 48, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    assert os.environ.get("VTX_PACK_MODEL", "1") != "0"
+    packed = model.apply(params, x)            # 37 tokens → packs 4×37=148
+    os.environ["VTX_PACK_MODEL"] = "0"
+    try:
+        unpacked = model.apply(params, x)
+    finally:
+        del os.environ["VTX_PACK_MODEL"]
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(unpacked),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_model_level_crop_packing_drop_path_runs():
+    """Non-deterministic packed forward: token-level DropPath scales (one
+    independent draw per packed crop) produce finite outputs and grads."""
+    from vision_transformers_tpu.models.vit import VisionTransformer
+
+    model = VisionTransformer(image_size=(48, 48), patch_size=8, depth=2,
+                              dim=32, n_head=2, dim_ff=64, n_class=None,
+                              drop_path=0.5)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(8, 48, 48, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        out = model.apply(p, x, False,
+                          rngs={"dropout": jax.random.PRNGKey(3)})
+        return (out ** 2).sum()
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)

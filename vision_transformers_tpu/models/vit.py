@@ -43,10 +43,13 @@ class MultiHeadedAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, ln=None, row_scale=None):
+    def __call__(self, x, deterministic: bool = True, ln=None, row_scale=None,
+                 extra=None):
         """``ln=(scale, bias, eps)`` switches to the fused layer-half kernel
         computing ``x + row_scale ⊙ Attn(LN(x))`` in one Pallas program
-        (ops/fused_layer.py); ``row_scale``: per-sample DropPath scale."""
+        (ops/fused_layer.py); ``row_scale``: per-sample DropPath scale;
+        ``extra``: additive [n, n] f32 attention bias (the block-diagonal
+        mask of the model-level crop packing)."""
         b, n, dim = x.shape
         dim_head = dim // self.n_head
 
@@ -66,7 +69,7 @@ class MultiHeadedAttention(nn.Module):
                 x, g, bb, wqkv.astype(self.dtype),
                 None if bqkv is None else bqkv.astype(self.dtype),
                 wout.astype(self.dtype), bout.astype(self.dtype),
-                self.n_head, None, row_scale, scale, eps)
+                self.n_head, extra, row_scale, scale, eps)
 
         impl = _ops.attention_impl(b, seq=n, default="fused")
         if not (deterministic or self.dropout == 0.0):
@@ -79,13 +82,13 @@ class MultiHeadedAttention(nn.Module):
                 x, wqkv.astype(self.dtype),
                 None if bqkv is None else bqkv.astype(self.dtype),
                 wout.astype(self.dtype), bout.astype(self.dtype),
-                self.n_head, None, scale)
+                self.n_head, extra, scale)
 
         qkv = dense_apply(x, wqkv, bqkv, self.dtype)
         if impl == "fused":
             # packed-qkv kernel: reads the projection output [b,n,3hd]
             # untouched and writes [b,n,hd] — no HBM relayout on either side
-            out = _ops.fused_attention_qkv(qkv, self.n_head, None, scale)
+            out = _ops.fused_attention_qkv(qkv, self.n_head, extra, scale)
             return dense_apply(out, wout, bout, self.dtype)
 
         # Short sequences (DINO's 37-token local crops) underuse the MXU:
@@ -93,9 +96,11 @@ class MultiHeadedAttention(nn.Module):
         # a block-diagonal −1e9 mask.  The [b,n,·]→[b/p,p·n,·] view merges
         # adjacent dims (no transpose), and the math is exact — masked
         # scores underflow to exactly 0 after the row-max subtraction, and
-        # adding exact zeros leaves the softmax sums unchanged.
+        # adding exact zeros leaves the softmax sums unchanged.  Skipped when
+        # the caller already packed at the model level (extra is not None).
         pack = 1
-        if n <= 64 and os.environ.get("VTX_PACK_SHORT", "1") != "0":
+        if extra is None and n <= 64 \
+                and os.environ.get("VTX_PACK_SHORT", "1") != "0":
             for p in (3, 2):
                 if b % p == 0 and p * n <= 128:
                     pack = p
@@ -105,7 +110,9 @@ class MultiHeadedAttention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [b/p, pn, h, d]
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
         attn = attn.astype(jnp.float32)
-        if pack > 1:
+        if extra is not None:
+            attn = attn + jnp.asarray(extra, jnp.float32)
+        elif pack > 1:
             eye = np.kron(np.eye(pack, dtype=np.float32),
                           np.ones((n, n), np.float32))
             attn = attn + jnp.asarray(np.where(eye > 0, 0.0, -1e9))
@@ -126,17 +133,27 @@ class TransformerLayer(nn.Module):
     drop_path: float = 0.0
     dtype: Dtype = jnp.float32
 
-    def _row_scale(self, b: int, deterministic: bool):
+    def _row_scale(self, b: int, deterministic: bool, pack: int = 1,
+                   n: Optional[int] = None):
         """Per-sample DropPath scale (mask/keep — drop_path semantics,
-        reference models/layer.py:166-183) for the fused layer kernels."""
+        reference models/layer.py:166-183).  [b] for the fused layer
+        kernels; token-level [b, pack·n] when ``pack`` crops share a row
+        (one independent draw per crop, exactly the unpacked semantics)."""
         if deterministic or self.drop_path == 0.0:
             return None
         keep = 1.0 - self.drop_path
-        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (b,))
-        return mask.astype(jnp.float32) / keep
+        if pack == 1:
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (b,))
+            return mask.astype(jnp.float32) / keep
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (b, pack))
+        return jnp.repeat(mask.astype(jnp.float32), n, axis=1) / keep
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, extra=None,
+                 pack: int = 1):
+        """``extra``/``pack``: model-level crop packing — ``pack`` crops of
+        n//pack tokens each share this row, isolated by the block-diagonal
+        ``extra`` mask (see VisionTransformer.forward_feature)."""
         from .. import ops as _ops
 
         b, n, dim = x.shape
@@ -149,34 +166,54 @@ class TransformerLayer(nn.Module):
         ff = FeedForward(dim=self.dim_ff, activation=jax.nn.silu,
                          dropout=self.drop_ff, dtype=self.dtype, name="ff")
 
+        def apply_dp(base, h, rs):
+            """base + rs ⊙ h with rs per sample ([b]) or per token ([b, n])."""
+            if rs is None:
+                return base + h
+            rs = rs[:, None, None] if rs.ndim == 1 else rs[:, :, None]
+            return base + h * rs.astype(h.dtype)
+
         # measured default (PERF.md round 2): fused attention-layer kernel
-        # for full-length sequences, einsum for short ones (DINO locals)
-        site_default = "layer" if n >= 128 else "einsum"
+        # for full-length sequences (incl. model-packed short crops), einsum
+        # for short unpacked ones
+        site_default = "layer" if (n >= 128 or pack > 1) else "einsum"
         use_layer = _ops.attention_impl(b, seq=n, default=site_default) == "layer" \
             and (deterministic or (self.dropout == 0.0 and
                                    self.drop_attn == 0.0 and
                                    self.drop_ff == 0.0))
         if use_layer:
             # attention residual branch as one fused kernel; DropPath rides
-            # in as a per-sample row scale.  The FF half fuses only when the
-            # FF kernel is enabled (its backward trails XLA — PERF.md)
-            x = attn(x, deterministic, ln=(g1, b1, _LN_EPS),
-                     row_scale=self._row_scale(b, deterministic))
-            if _ops.ff_kernel_enabled():
+            # in as a per-sample row scale.  Token-level scales (packed
+            # crops) are applied outside the kernel: x + rs ⊙ (out − x)
+            # is exact because the kernel returns x + branch.  The FF half
+            # fuses only when the FF kernel is enabled (backward trails
+            # XLA — PERF.md)
+            rs = self._row_scale(b, deterministic, pack, n // pack)
+            if rs is None or rs.ndim == 1:
+                x = attn(x, deterministic, ln=(g1, b1, _LN_EPS),
+                         row_scale=rs, extra=extra)
+            else:
+                out = attn(x, deterministic, ln=(g1, b1, _LN_EPS),
+                           extra=extra)
+                x = apply_dp(x, out - x, rs)
+            rs = self._row_scale(b, deterministic, pack, n // pack)
+            if _ops.ff_kernel_enabled() and (rs is None or rs.ndim == 1):
                 return ff(x, deterministic, ln=(g2, b2, _LN_EPS),
-                          row_scale=self._row_scale(b, deterministic))
+                          row_scale=rs)
             h = layer_norm_apply(x, g2, b2, _LN_EPS, self.dtype)
             h = ff(h, deterministic)
-            rs = self._row_scale(b, deterministic)
-            return x + (h if rs is None else h * rs[:, None, None].astype(h.dtype))
+            return apply_dp(x, h, rs)
 
         def dp(y):
             if deterministic or self.drop_path == 0.0:
                 return y
+            if pack > 1:
+                rs = self._row_scale(b, deterministic, pack, n // pack)
+                return y * rs[:, :, None].astype(y.dtype)
             return drop_path(y, self.drop_path, self.make_rng("dropout"), False)
 
         h = layer_norm_apply(x, g1, b1, _LN_EPS, self.dtype)
-        h = attn(h, deterministic)
+        h = attn(h, deterministic, extra=extra)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = x + dp(h)
 
@@ -270,15 +307,41 @@ class VisionTransformer(nn.Module):
         return jnp.concatenate([cls_embed, grid], axis=1)
 
     def forward_feature(self, x, deterministic: bool = True):
-        """(reference: models/vit.py:139-151). x: NHWC."""
+        """(reference: models/vit.py:139-151). x: NHWC.
+
+        Short sequences (DINO's 37-token local crops) are packed ``pack``
+        crops to a row for the WHOLE layer stack — one [b/p, p·n, d] view
+        (adjacent-dim merge, no transpose) with a block-diagonal −1e9
+        attention mask.  Every non-attention op is token-pointwise, so the
+        math is exact; DropPath keeps one independent draw per crop via
+        token-level scales (TransformerLayer.apply_dp).  This keeps the
+        locals on the fused layer kernel with MXU-sized rows instead of
+        37-token fragments."""
         out = self.patch_embedding(x)
         b, n, _ = out.shape
         cls = jnp.broadcast_to(self.cls_token.astype(out.dtype), (b, 1, self.dim))
         out = jnp.concatenate([cls, out], axis=1)
         out = out + self.interpolate_pos_embedding(n).astype(out.dtype)
         out = self.pos_dropout(out, deterministic=deterministic)
+
+        seq = n + 1
+        pack = 1
+        if seq <= 64 and os.environ.get("VTX_PACK_MODEL", "1") != "0":
+            for p in (4, 3, 2):
+                if b % p == 0 and p * seq <= 160:
+                    pack = p
+                    break
+        extra = None
+        if pack > 1:
+            out = out.reshape(b // pack, pack * seq, self.dim)
+            eye = np.kron(np.eye(pack, dtype=np.float32),
+                          np.ones((seq, seq), np.float32))
+            extra = jnp.asarray(np.where(eye > 0, 0.0, -1e9), jnp.float32)
+
         for layer in self.layers:
-            out = layer(out, deterministic)
+            out = layer(out, deterministic, extra=extra, pack=pack)
+        if pack > 1:
+            out = out.reshape(b, seq, self.dim)
         out = self.norm(out)
         return out[:, 0]
 
