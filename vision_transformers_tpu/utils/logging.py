@@ -38,6 +38,24 @@ class _ElapsedFormatter(logging.Formatter):
         return f"[{h:02d}:{m:02d}:{s:02d}] {record.getMessage()}"
 
 
+class _StdoutHandler(logging.StreamHandler):
+    """StreamHandler that resolves ``sys.stdout`` at EMIT time — the logger
+    is a cached singleton, so binding the stream at creation would keep
+    writing to a stale stream after stdout is redirected (pytest capsys,
+    nohup re-exec, tee wrappers)."""
+
+    def __init__(self):
+        super().__init__(sys.stdout)
+
+    @property
+    def stream(self):
+        return sys.stdout
+
+    @stream.setter
+    def stream(self, value):  # base __init__/setStream assign it; ignore
+        pass
+
+
 def get_logger(name: str = "vtx", mode: str = "rich") -> logging.Logger:
     if name in _LOGGERS:
         return _LOGGERS[name]
@@ -45,7 +63,7 @@ def get_logger(name: str = "vtx", mode: str = "rich") -> logging.Logger:
     logger.setLevel(logging.INFO)
     logger.propagate = False
     if is_primary():
-        handler = logging.StreamHandler(sys.stdout)
+        handler = _StdoutHandler()
         handler.setFormatter(_ElapsedFormatter())
         logger.addHandler(handler)
     else:
