@@ -116,7 +116,7 @@ def test_model_level_crop_packing_exact():
     x = jnp.asarray(rng.normal(size=(8, 48, 48, 3)).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), x)
     assert os.environ.get("VTX_PACK_MODEL", "1") != "0"
-    packed = model.apply(params, x)            # 37 tokens → packs 4×37=148
+    packed = model.apply(params, x)            # 37 tokens → packs 2×37=74
     os.environ["VTX_PACK_MODEL"] = "0"
     try:
         unpacked = model.apply(params, x)

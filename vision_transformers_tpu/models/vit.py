@@ -324,11 +324,16 @@ class VisionTransformer(nn.Module):
         out = out + self.interpolate_pos_embedding(n).astype(out.dtype)
         out = self.pos_dropout(out, deterministic=deterministic)
 
+        # p·seq ≤ 128 keeps every packed score/av dot inside ONE MXU tile
+        # pair (M, N ≤ 128): p=4 at 37 tokens (148) measured SLOWER than
+        # p=2 (74) despite fewer rows — crossing 128 doubles the passes of
+        # every [m,d]·[d,m] attention dot while 3/4 of the grown tile is
+        # cross-crop mask waste
         seq = n + 1
         pack = 1
         if seq <= 64 and os.environ.get("VTX_PACK_MODEL", "1") != "0":
-            for p in (4, 3, 2):
-                if b % p == 0 and p * seq <= 160:
+            for p in (3, 2):
+                if b % p == 0 and p * seq <= 128:
                     pack = p
                     break
         extra = None
