@@ -100,9 +100,11 @@ def _act_bwd(h, kind):
 
 
 def _attn_layer_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
-                           bout_ref, extra_ref, rs_ref, o_ref, *,
+                           bout_ref, extra_ref, rs_ref, o_ref,
+                           acc_ref=None, sqkv_ref=None, *,
                            scale, eps, bc, n_head, dim_head, has_extra,
-                           has_bqkv, has_bout, has_rs, rs_global):
+                           has_bqkv, has_bout, has_rs, rs_global,
+                           save="none"):
     HD = n_head * dim_head
     row0 = pl.program_id(0) * bc if rs_global else 0
 
@@ -116,6 +118,8 @@ def _attn_layer_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
         ).astype(x_ref.dtype)
         if has_bqkv:
             qkv = qkv + bqkv_ref[0]
+        if save == "acc+qkv":
+            sqkv_ref[j] = qkv
         outs = []
         for h in range(n_head):
             qs, ks, vs = _head_slices(h, dim_head, HD)
@@ -134,6 +138,8 @@ def _attn_layer_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                 preferred_element_type=jnp.float32,
             ).astype(x_ref.dtype))
         acc = jnp.concatenate(outs, axis=-1)
+        if save != "none":
+            acc_ref[j] = acc
         a = jax.lax.dot_general(
             acc, wout_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -151,10 +157,12 @@ def _attn_layer_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
 
 def _attn_layer_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                            bout_ref, extra_ref, rs_ref, do_ref,
+                           acc_ref, sqkv_ref,
                            dx_ref, dg_ref, db_ref, dwqkv_ref, dbqkv_ref,
                            dwout_ref, dbout_ref, dextra_ref, drs_ref, *,
                            scale, eps, bc, n_head, dim_head, has_extra,
-                           has_bqkv, has_bout, has_rs, rs_global, bpg):
+                           has_bqkv, has_bout, has_rs, rs_global, bpg,
+                           save="none"):
     HD = n_head * dim_head
     b = pl.program_id(0)
     row0 = b * bc if rs_global else 0
@@ -178,17 +186,23 @@ def _attn_layer_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
         dz = do_ref[j]
         u_f, xhat, r = _ln_fwd(xj.astype(jnp.float32), g_ref, b_ref, eps)
         u = u_f.astype(x_ref.dtype)
-        qkv = jax.lax.dot_general(
-            u, wqkv_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x_ref.dtype)
-        if has_bqkv:
-            qkv = qkv + bqkv_ref[0]
+        if save == "acc+qkv":
+            # qkv saved by the vjp forward — skip the projection recompute
+            # (worth it when C ≥ ~256: the dot costs more than the HBM
+            # round-trip of the [bc, N, 3HD] tensor)
+            qkv = sqkv_ref[j]
+        else:
+            qkv = jax.lax.dot_general(
+                u, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x_ref.dtype)
+            if has_bqkv:
+                qkv = qkv + bqkv_ref[0]
 
-        ps, outs = [], []
+        ps = []
         for h in range(n_head):
             qs, ks, vs = _head_slices(h, dim_head, HD)
-            q, k, v = qkv[:, qs], qkv[:, ks], qkv[:, vs]
+            q, k = qkv[:, qs], qkv[:, ks]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -197,13 +211,22 @@ def _attn_layer_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                 s = s + extra_ref[0, h].astype(jnp.float32)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            ps.append(p)
-            outs.append(jax.lax.dot_general(
-                p.astype(x_ref.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(x_ref.dtype))
-        acc = jnp.concatenate(outs, axis=-1)
+            ps.append(p / jnp.sum(p, axis=-1, keepdims=True))
+        if save != "none":
+            # acc saved by the vjp forward — skips n_head LOW-DENSITY
+            # [N,N]·[N,D] av dots per row (the per-head pass floor is the
+            # backward's cost driver, PERF.md round 3)
+            acc = acc_ref[j]
+        else:
+            outs = []
+            for h in range(n_head):
+                vs = _head_slices(h, dim_head, HD)[2]
+                outs.append(jax.lax.dot_general(
+                    ps[h].astype(x_ref.dtype), qkv[:, vs],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(x_ref.dtype))
+            acc = jnp.concatenate(outs, axis=-1)
 
         if has_rs:
             rv = rs_ref[row0 + j, 0]  # SMEM scalar
@@ -336,19 +359,39 @@ def _rs_spec(rs_b, has_rs, bc):
                         memory_space=pltpu.SMEM), True
 
 
+def _save_mode(C: int) -> str:
+    """What the vjp forward saves for the backward kernel.
+
+    "acc" always pays off: it replaces n_head low-density [N,N]·[N,D] av
+    dots per row with one [bc,N,HD] HBM round-trip.  "acc+qkv" additionally
+    skips the qkv projection recompute — a win only when the dot outweighs
+    the [bc,N,3HD] traffic, i.e. C ≥ ~256 (2C/82 TF/s vs 4 B/819 GB/s per
+    element).  VTX_FL_SAVE overrides: none | acc | qkv (= acc+qkv) | auto."""
+    env = os.environ.get("VTX_FL_SAVE", "auto")
+    if env in ("0", "none"):
+        return "none"
+    if env == "acc":
+        return "acc"
+    if env in ("1", "qkv", "acc+qkv"):
+        return "acc+qkv"
+    return "acc+qkv" if C >= 256 else "acc"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
 def _attn_layer(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
                 n_head, scale, eps, interpret):
     out, _ = _attn_layer_fwd(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
-                             n_head, scale, eps, interpret)
+                             n_head, scale, eps, interpret, save="none")
     return out
 
 
 def _attn_layer_fwd(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
-                    n_head, scale, eps, interpret):
+                    n_head, scale, eps, interpret, save=None):
     B, N, C = x.shape
     HD = wqkv.shape[1] // 3
     dim_head = HD // n_head
+    if save is None:
+        save = _save_mode(C)
     extra_b, has_extra, groups = _extra_form(extra, B, n_head, N)
     _, eh, em, en = extra_b.shape
     rs_b, has_rs = _rs_form(rs, B, x.dtype)
@@ -364,12 +407,21 @@ def _attn_layer_fwd(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
     # overflows the 1MB scalar memory at large B)
     rs_spec, rs_global = _rs_spec(rs_b, has_rs, bc)
 
-    out = pl.pallas_call(
+    out_specs = [pl.BlockSpec((bc, N, C), lambda i: (i, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, N, C), x.dtype)]
+    if save != "none":
+        out_specs.append(pl.BlockSpec((bc, N, HD), lambda i: (i, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B, N, HD), x.dtype))
+    if save == "acc+qkv":
+        out_specs.append(pl.BlockSpec((bc, N, 3 * HD), lambda i: (i, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B, N, 3 * HD), x.dtype))
+
+    outs = pl.pallas_call(
         functools.partial(
             _attn_layer_fwd_kernel, scale=scale, eps=eps, bc=bc,
             n_head=n_head, dim_head=dim_head, has_extra=bool(has_extra),
             has_bqkv=has_bqkv, has_bout=has_bout, has_rs=bool(has_rs),
-            rs_global=rs_global),
+            rs_global=rs_global, save=save),
         grid=(B // bc,),
         in_specs=[
             pl.BlockSpec((bc, N, C), lambda i: (i, 0, 0)),
@@ -382,12 +434,24 @@ def _attn_layer_fwd(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
             pl.BlockSpec((1, eh, em, en), lambda i: (i // bpg, 0, 0, 0)),
             rs_spec,
         ],
-        out_specs=pl.BlockSpec((bc, N, C), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, N, C), x.dtype),
+        out_specs=out_specs if save != "none" else out_specs[0],
+        out_shape=out_shape if save != "none" else out_shape[0],
         interpret=interpret,
         compiler_params=_cp(interpret),
     )(x, g.reshape(1, -1), b.reshape(1, -1), wqkv, bq, wout, bo, extra_b, rs_b)
-    return out, (x, g, b, wqkv, bqkv, wout, bout, extra, rs)
+    if save == "none":
+        out, acc, sqkv = outs, None, None
+    elif save == "acc":
+        (out, acc), sqkv = outs, None
+    else:
+        out, acc, sqkv = outs
+    return out, (x, g, b, wqkv, bqkv, wout, bout, extra, rs, acc, sqkv)
+
+
+def _attn_layer_fwd_rule(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
+                         n_head, scale, eps, interpret):
+    return _attn_layer_fwd(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
+                           n_head, scale, eps, interpret)
 
 
 def _attn_layer_ref(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
@@ -447,7 +511,7 @@ def _bwd_impl() -> str:
 
 
 def _attn_layer_bwd_xla(n_head, scale, eps, res, do):
-    x, g, b, wqkv, bqkv, wout, bout, extra, rs = res
+    x, g, b, wqkv, bqkv, wout, bout, extra, rs = res[:9]
 
     def f(x, g, b, wqkv, bqkv, wout, bout, extra, rs):
         return _attn_layer_ref(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
@@ -460,7 +524,12 @@ def _attn_layer_bwd_xla(n_head, scale, eps, res, do):
 def _attn_layer_bwd(n_head, scale, eps, interpret, res, do):
     if not interpret and _bwd_impl() == "xla":
         return _attn_layer_bwd_xla(n_head, scale, eps, res, do)
-    x, g, b, wqkv, bqkv, wout, bout, extra, rs = res
+    x, g, b, wqkv, bqkv, wout, bout, extra, rs = res[:9]
+    # 9-element residuals (hand-built in tests/the xla path) mean nothing
+    # was saved — full recompute
+    acc, sqkv = (res[9], res[10]) if len(res) == 11 else (None, None)
+    save = ("acc+qkv" if sqkv is not None
+            else "acc" if acc is not None else "none")
     B, N, C = x.shape
     three_hd = wqkv.shape[1]
     HD = three_hd // 3
@@ -480,12 +549,21 @@ def _attn_layer_bwd(n_head, scale, eps, interpret, res, do):
     # overflows the 1MB scalar memory at large B)
     rs_spec, rs_global = _rs_spec(rs_b, has_rs, bc)
 
+    acc_in = acc if acc is not None else jnp.zeros((1, 1, 1), x.dtype)
+    sqkv_in = sqkv if sqkv is not None else jnp.zeros((1, 1, 1), x.dtype)
+    acc_spec = (pl.BlockSpec((bc, N, HD), lambda i: (i, 0, 0))
+                if acc is not None
+                else pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0)))
+    sqkv_spec = (pl.BlockSpec((bc, N, three_hd), lambda i: (i, 0, 0))
+                 if sqkv is not None
+                 else pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0)))
+
     outs = pl.pallas_call(
         functools.partial(
             _attn_layer_bwd_kernel, scale=scale, eps=eps, bc=bc,
             n_head=n_head, dim_head=dim_head, has_extra=bool(has_extra),
             has_bqkv=has_bqkv, has_bout=has_bout, has_rs=bool(has_rs),
-            rs_global=rs_global, bpg=bpg),
+            rs_global=rs_global, bpg=bpg, save=save),
         grid=(B // bc,),
         in_specs=[
             pl.BlockSpec((bc, N, C), lambda i: (i, 0, 0)),
@@ -498,6 +576,8 @@ def _attn_layer_bwd(n_head, scale, eps, interpret, res, do):
             pl.BlockSpec((1, eh, em, en), lambda i: (i // bpg, 0, 0, 0)),
             rs_spec,
             pl.BlockSpec((bc, N, C), lambda i: (i, 0, 0)),
+            acc_spec,
+            sqkv_spec,
         ],
         out_specs=[
             pl.BlockSpec((bc, N, C), lambda i: (i, 0, 0)),
@@ -524,7 +604,7 @@ def _attn_layer_bwd(n_head, scale, eps, interpret, res, do):
         interpret=interpret,
         compiler_params=_cp(interpret),
     )(x, g.reshape(1, -1), b.reshape(1, -1), wqkv, bq, wout, bo, extra_b,
-      rs_b, do.astype(x.dtype))
+      rs_b, do.astype(x.dtype), acc_in, sqkv_in)
     dx, dg, db, dwqkv, dbqkv, dwout, dbout, dextra, drs = outs
 
     dbqkv_out = dbqkv[0].astype(bqkv.dtype) if has_bqkv else None
@@ -546,7 +626,7 @@ def _attn_layer_bwd(n_head, scale, eps, interpret, res, do):
             dwout.astype(wout.dtype), dbout_out, dextra_out, drs_out)
 
 
-_attn_layer.defvjp(_attn_layer_fwd, _attn_layer_bwd)
+_attn_layer.defvjp(_attn_layer_fwd_rule, _attn_layer_bwd)
 
 
 def fused_attention_layer(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
