@@ -132,13 +132,14 @@ def dino_loss(
     q = jax.lax.stop_gradient(jax.nn.softmax(teacher_logits, axis=-1))
     teacher_chunks = jnp.split(q, 2, axis=0)
 
+    # one log_softmax per student chunk (each participates in up to 2 pairs)
+    logps = [jax.nn.log_softmax(sv, axis=-1) for sv in student_chunks]
     total = 0.0
     n_terms = 0
     for i_q, tq in enumerate(teacher_chunks):
-        for v, sv in enumerate(student_chunks):
+        for v, logp in enumerate(logps):
             if v == i_q:
                 continue
-            logp = jax.nn.log_softmax(sv, axis=-1)
             total = total + jnp.mean(jnp.sum(-tq * logp, axis=-1))
             n_terms += 1
     return total / n_terms
