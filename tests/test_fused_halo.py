@@ -166,3 +166,30 @@ def test_halo_attention_module_gather_impl_matches_einsum(monkeypatch):
         ops.set_attention_impl(None)
     np.testing.assert_allclose(np.asarray(gather), np.asarray(ref),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_direct_prod_shape_window8_halo2():
+    """The production Halo config (window 8, halo 2 → k=12 padded to
+    KPAD=16) through the direct kernel, fwd + grads."""
+    from vision_transformers_tpu.ops.fused_halo import halo_attention_direct
+
+    b, H, W, HD, D, window, halo = 1, 16, 16, 2, 8, 8, 2
+    C = HD * D
+    k = window + 2 * halo
+    q = _rand((b, H, W, C), 30)
+    kv = _rand((b, H, W, 2 * C), 31)
+    bias = _rand((HD, window * window, k * k), 32) * 0.2
+    co = _rand((b, H, W, C), 33)
+    out = halo_attention_direct(q, kv, bias, window, halo, HD, None, True)
+    ref = ref_halo_map(q, kv, bias, window, halo, HD)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+    gk = jax.grad(
+        lambda *a: (halo_attention_direct(*a, window, halo, HD, None, True)
+                    * co).sum(), argnums=(0, 1, 2))(q, kv, bias)
+    gr = jax.grad(
+        lambda *a: (ref_halo_map(*a, window, halo, HD) * co).sum(),
+        argnums=(0, 1, 2))(q, kv, bias)
+    for a, b_, name in zip(gk, gr, ("dq", "dkv", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)
