@@ -115,7 +115,8 @@ class MultiHeadedAttention(nn.Module):
         elif pack > 1:
             eye = np.kron(np.eye(pack, dtype=np.float32),
                           np.ones((n, n), np.float32))
-            attn = attn + jnp.asarray(np.where(eye > 0, 0.0, -1e9))
+            attn = attn + jnp.asarray(np.where(eye > 0, 0.0, -1e9),
+                                      jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, dim)

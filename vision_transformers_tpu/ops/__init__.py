@@ -127,6 +127,13 @@ def halo_impl(window: int = 8, halo: int = 1) -> str:
     if _FORCED == "einsum":
         return "einsum"
     if _FORCED is None:
+        # honor the documented GLOBAL env forces too
+        env = os.environ.get("VTX_ATTN_IMPL")
+        if env == "einsum":
+            return "einsum"
+        if env is None and \
+                os.environ.get("VTX_FUSED_ATTENTION") in ("0", "false", "off"):
+            return "einsum"
         import jax
 
         if jax.default_backend() != "tpu":

@@ -154,7 +154,7 @@ def _pick_chunks(B: int, G: int, M: int, N: int, D: int, itemsize: int,
     env = _os.environ.get("VTX_FA_CHUNKS")
     if env:
         bc, gc = (int(x) for x in env.split(","))
-        return bc, gc
+        return _env_bc(str(bc), B), _env_bc(str(gc), G)
 
     def divisor_at_most(n, cap):
         best = 1
@@ -402,7 +402,7 @@ def _qkv_pick_bc(B: int, N: int, C: int, itemsize: int, bwd: bool,
                  n_head: int, has_extra: bool) -> int:
     env = _os.environ.get("VTX_FA_QKV_BC")
     if env:
-        return int(env)
+        return _env_bc(env, B)
     budget = 9 * 1024 * 1024
     # resident per batch row: qkv [N, C] + out [N, C/3] (+ dqkv, do on bwd)
     per_row = N * C * itemsize * ((1 + 1 + 2 / 3) if bwd else (1 + 1 / 3))

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .fused_attention import _cp
+from .fused_attention import _cp, _env_bc
 
 __all__ = ["halo_attention", "halo_attention_direct"]
 
@@ -128,12 +128,7 @@ def _pick_bc(B: int, M: int, N: int, C: int, itemsize: int, n_head: int,
              bwd: bool) -> int:
     env = _os.environ.get("VTX_HALO_BC")
     if env:
-        # a chunk that doesn't divide B would leave grid=(B // bc,) silently
-        # skipping tail rows; round DOWN to the nearest divisor
-        bc = max(1, min(int(env), B))
-        while B % bc != 0:
-            bc -= 1
-        return bc
+        return _env_bc(env, B)
     budget = 9 * 1024 * 1024  # same measured sweet spot as fused_attention
     per_row = (M * C * (3 if bwd else 2) + N * 2 * C * (2 if bwd else 1)) \
         * itemsize

@@ -450,8 +450,11 @@ def _attn_layer_fwd(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
 
 def _attn_layer_fwd_rule(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
                          n_head, scale, eps, interpret):
+    # the xla backward differentiates the jnp reference and never reads the
+    # saved residuals — don't pay their HBM writes in that A/B
+    save = "none" if (not interpret and _bwd_impl() == "xla") else None
     return _attn_layer_fwd(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
-                           n_head, scale, eps, interpret)
+                           n_head, scale, eps, interpret, save=save)
 
 
 def _attn_layer_ref(x, g, b, wqkv, bqkv, wout, bout, extra, rs,
