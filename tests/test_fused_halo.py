@@ -193,3 +193,18 @@ def test_direct_prod_shape_window8_halo2():
     for a, b_, name in zip(gk, gr, ("dq", "dkv", "dbias")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-3, atol=1e-4, err_msg=name)
+
+
+def test_halo_impl_honors_global_einsum_force(monkeypatch):
+    from vision_transformers_tpu import ops
+
+    monkeypatch.setenv("VTX_ATTN_IMPL", "einsum")
+    assert ops.halo_impl(8, 2) == "einsum"
+    monkeypatch.delenv("VTX_ATTN_IMPL")
+    monkeypatch.setenv("VTX_FUSED_ATTENTION", "0")
+    assert ops.halo_impl(8, 2) == "einsum"
+    monkeypatch.delenv("VTX_FUSED_ATTENTION")
+    # explicit halo override wins over everything
+    monkeypatch.setenv("VTX_HALO_IMPL", "direct")
+    monkeypatch.setenv("VTX_ATTN_IMPL", "einsum")
+    assert ops.halo_impl(8, 2) == "direct"
