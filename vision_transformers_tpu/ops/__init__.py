@@ -146,6 +146,24 @@ def halo_impl(window: int = 8, halo: int = 1) -> str:
     return "gather"
 
 
+def tp_kernel_guard(model_parallel: int, logger=None) -> None:
+    """Disable the Pallas kernel paths when the mesh has a real tensor-
+    parallel axis.  The kernels are plain ``pallas_call``s inside the
+    sharded jit — XLA's SPMD partitioner has no partitioning rule for them,
+    so with ``mesh.model > 1`` the einsum paths (which the partitioner
+    shards and inserts ICI collectives for, parallel/tp.py) are the
+    supported route.  A user force (env or set_attention_impl) wins."""
+    if model_parallel <= 1 or _FORCED is not None:
+        return
+    if os.environ.get("VTX_ATTN_IMPL") or os.environ.get("VTX_FUSED_ATTENTION"):
+        return
+    set_attention_impl("einsum")
+    if logger is not None:
+        logger.info(
+            f"mesh.model={model_parallel}: Pallas kernels off (einsum paths"
+            " shard under the XLA partitioner; custom calls do not)")
+
+
 _FF_KERNEL_FORCED: Optional[bool] = None
 
 

@@ -60,6 +60,9 @@ def train_dino(conf: ImageNetConfig) -> dict:
     assert task is not None, "dino training requires a task: {type: dino, ...} block"
     training = conf.training
     mesh = meshlib.make_mesh(conf.n_device, conf.mesh.model)
+    from .. import ops as _ops
+
+    _ops.tp_kernel_guard(conf.mesh.model, logger)
     dtype = jnp.bfloat16 if (conf.precision == "bf16" or conf.fp16) else jnp.float32
     logger.info(f"mesh: {dict(mesh.shape)}; dtype: {dtype.__name__}")
 

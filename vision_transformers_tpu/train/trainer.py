@@ -170,6 +170,9 @@ def train_classification(conf: ImageNetConfig) -> dict:
     """Run the full classification recipe; returns final metrics."""
     logger = get_logger()
     mesh = meshlib.make_mesh(conf.n_device, conf.mesh.model)
+    from .. import ops as _ops
+
+    _ops.tp_kernel_guard(conf.mesh.model, logger)
     dtype = _compute_dtype(conf)
     n_data = mesh.shape[meshlib.DATA_AXIS]
     logger.info(
