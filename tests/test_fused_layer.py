@@ -357,3 +357,42 @@ def test_xla_backward_matches_pallas_backward():
                                    extra, rs, scale, 1e-6, interpret=True)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(ker),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_save_modes_identical_grads(monkeypatch):
+    """VTX_FL_SAVE none/acc/qkv must produce identical outputs and grads —
+    the acc+qkv backward branch only auto-activates at C ≥ 256, so force
+    each mode explicitly here."""
+    import numpy as np
+
+    from vision_transformers_tpu.ops import fused_layer as FL
+
+    B, N, C, H, D = 4, 12, 16, 2, 8
+    HD = H * D
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * HD)).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.normal(size=3 * HD).astype(np.float32) * 0.1)
+    wout = jnp.asarray(rng.normal(size=(HD, C)).astype(np.float32) * 0.1)
+    bout = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    extra = jnp.asarray(rng.normal(size=(H, N, N)).astype(np.float32))
+    rs = jnp.asarray(rng.uniform(0.5, 1.5, B).astype(np.float32))
+
+    def loss(args):
+        out = FL.fused_attention_layer(*args, H, extra, rs, None, 1e-6, True)
+        return (out ** 2).sum()
+
+    args = (x, g, b, wqkv, bqkv, wout, bout)
+    results = {}
+    for mode in ("none", "acc", "qkv"):
+        monkeypatch.setenv("VTX_FL_SAVE", mode)
+        results[mode] = (loss(args), jax.grad(loss)(args))
+    for mode in ("acc", "qkv"):
+        np.testing.assert_allclose(np.asarray(results[mode][0]),
+                                   np.asarray(results["none"][0]),
+                                   rtol=1e-6, err_msg=mode)
+        for a, ref in zip(results[mode][1], results["none"][1]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6, err_msg=mode)
