@@ -1,0 +1,173 @@
+"""Checkpoint migration end-to-end: convert.py, evaluate.py, finetune=.
+
+Builds a real reference-format ``.pt`` checkpoint (reference train.py:208-217
+layout: model/ema/scheduler/optimizer/conf) from the reference's own torch
+ViT, converts it, and drives the full downstream surface on CPU.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from test_torch_parity import _install_stub, REF  # noqa: F401
+
+_install_stub()
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+CONF = os.path.join(ROOT, "configs", "vit-s-16.conf")
+
+ARCH_OVERRIDES = [
+    "arch.depth=1", "arch.dim=32", "arch.n_head=2", "arch.dim_ff=64",
+    "arch.image_size=16", "arch.window_size=8", "arch.n_class=5",
+]
+
+
+def _cli(name):
+    """Import a repo-root CLI module (convert.py / evaluate.py) by path."""
+    spec = importlib.util.spec_from_file_location(name, os.path.join(ROOT, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def reference_pt(tmp_path_factory):
+    """A reference-layout checkpoint with distinct model vs ema weights."""
+    from models.vit import VisionTransformer as TorchViT
+
+    def make(seed):
+        torch.manual_seed(seed)
+        return TorchViT(head=torch.nn.Linear(32, 5), image_size=16,
+                        window_size=8, depth=1, dim=32, n_head=2, dim_ff=64,
+                        dropout=0, drop_attn=0, drop_ff=0, drop_path=0).eval()
+
+    model, ema = make(0), make(1)
+    path = tmp_path_factory.mktemp("ref") / "epoch-003.pt"
+    torch.save(
+        {"model": model.state_dict(), "ema": ema.state_dict(),
+         "scheduler": {}, "optimizer": {}, "conf": {"arch": {"type": "vit"}}},
+        path,
+    )
+    return str(path), model, ema
+
+
+def test_convert_cli_roundtrip(reference_pt, tmp_path, monkeypatch):
+    """convert.py writes an orbax variables checkpoint whose logits match the
+    source torch model."""
+    pt_path, torch_model, _ = reference_pt
+    out = str(tmp_path / "converted")
+    monkeypatch.setattr(sys, "argv", [
+        "convert.py", "--conf", CONF, "--checkpoint", pt_path,
+        "--key", "model", "--out", out] + ARCH_OVERRIDES)
+    _cli("convert").main()
+
+    from vision_transformers_tpu.config.schema import load_config
+    from vision_transformers_tpu.train.checkpoint import restore_checkpoint
+
+    conf = load_config(CONF, ARCH_OVERRIDES)
+    variables = restore_checkpoint(out)
+    model = conf.arch.make()
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    ours = model.apply(jax.tree.map(jnp.asarray, variables), jnp.asarray(x))
+    with torch.no_grad():
+        theirs = torch_model(torch.tensor(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_evaluate_cli_on_pt_key_suffix(reference_pt, monkeypatch, capsys):
+    """evaluate.py consumes a reference .pt directly via PATH:key and prints
+    the metrics JSON line."""
+    pt_path, _, _ = reference_pt
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate.py", "--conf", CONF, "--checkpoint", f"{pt_path}:ema",
+    ] + ARCH_OVERRIDES + [
+        "data_backend=synthetic", "training.dataloader.batch_size=8",
+        "training.train_size=16", "training.valid_size=16", "precision=f32",
+        "dataset_path=/nonexistent",
+    ])
+    _cli("evaluate").main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(line)
+    assert set(result) == {"loss", "prec1", "prec5", "n"}
+    assert np.isfinite(result["loss"]) and result["n"] > 0
+
+
+def test_evaluate_model_vs_ema_differ(reference_pt, tmp_path, monkeypatch, capsys):
+    """model and ema weights are different models — their metrics must differ
+    (pins that --key/:key actually selects the sub-state_dict)."""
+    pt_path, _, _ = reference_pt
+    common = [
+        "--conf", CONF] + ARCH_OVERRIDES + [
+        "data_backend=synthetic", "training.dataloader.batch_size=8",
+        "training.train_size=16", "training.valid_size=16", "precision=f32",
+        "dataset_path=/nonexistent",
+    ]
+    results = []
+    for key in ("model", "ema"):
+        monkeypatch.setattr(sys, "argv",
+                            ["evaluate.py", "--checkpoint", f"{pt_path}:{key}"] + common)
+        _cli("evaluate").main()
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        results.append(json.loads(line)["loss"])
+    assert results[0] != results[1]
+
+
+def test_finetune_from_converted(reference_pt, tmp_path, monkeypatch):
+    """finetune= starts training from converted weights: after one tiny epoch
+    the saved params sit a few AdamW steps from the pretrained values — far
+    inside the distance to any fresh random init."""
+    pt_path, torch_model, _ = reference_pt
+    out = str(tmp_path / "converted")
+    monkeypatch.setattr(sys, "argv", [
+        "convert.py", "--conf", CONF, "--checkpoint", pt_path,
+        "--key", "model", "--out", out] + ARCH_OVERRIDES)
+    _cli("convert").main()
+
+    from vision_transformers_tpu.config.schema import load_config
+    from vision_transformers_tpu.train.checkpoint import restore_checkpoint
+    from vision_transformers_tpu.train.trainer import train_classification
+
+    conf = load_config(CONF, ARCH_OVERRIDES + [
+        "training.epoch=1", "training.dataloader.batch_size=16",
+        "data_backend=synthetic", "training.train_size=16",
+        "training.valid_size=16", "dataset_path=/nonexistent",
+        "precision=f32", "training.scheduler.warmup=0",
+        f"finetune={out}",
+        f"checker.storage=[{{type: local, path: {tmp_path}/ck}}]",
+    ])
+    metrics = train_classification(conf)
+    assert np.isfinite(metrics["loss"])
+
+    converted = restore_checkpoint(out)
+    saved = restore_checkpoint(str(tmp_path / "ck" / "epoch-001"))
+    # 4 AdamW steps at the scaled lr move pos_embed by ~1e-3; two independent
+    # N(0, 0.02) inits differ by ~0.1 at the max — 0.02 separates the cases
+    pre = converted["params"]["pos_embed"]
+    got = saved["state"]["params"]["pos_embed"]
+    assert float(np.max(np.abs(got - pre))) < 0.02
+
+
+def test_load_pretrained_variables_key_suffix(reference_pt):
+    from vision_transformers_tpu.config.schema import load_config
+    from vision_transformers_tpu.utils.torch_convert import load_pretrained_variables
+
+    pt_path, torch_model, ema_model = reference_pt
+    conf = load_config(CONF, ARCH_OVERRIDES)
+    v_model = load_pretrained_variables(f"{pt_path}:model", conf.arch)
+    v_ema = load_pretrained_variables(f"{pt_path}:ema", conf.arch)
+    w_model = torch_model.state_dict()["head.weight"].numpy().T
+    w_ema = ema_model.state_dict()["head.weight"].numpy().T
+    np.testing.assert_allclose(np.asarray(v_model["params"]["head"]["kernel"]), w_model)
+    np.testing.assert_allclose(np.asarray(v_ema["params"]["head"]["kernel"]), w_ema)

@@ -161,6 +161,10 @@ class ImageNetConfig(_Base):
     data_backend: str = "auto"  # auto | records | synthetic
     resume: Optional[str] = None  # checkpoint dir to restore (superset of reference)
     profile_dir: Optional[str] = None  # write a jax.profiler trace of early steps
+    # start from pretrained weights: a converted orbax variables dir
+    # (convert.py) or a reference torch .pt (converted on the fly);
+    # "PATH:key" selects model/ema/student/teacher inside a .pt
+    finetune: Optional[str] = None
 
     @field_validator("arch", mode="before")
     @classmethod

@@ -214,6 +214,22 @@ def train_classification(conf: ImageNetConfig) -> dict:
         state = engine.create_train_state(
             rng, model, init_shape, tx, ema=training.ema, ema_bn=training.ema_bn
         )
+        if conf.finetune:
+            from ..utils.torch_convert import load_pretrained_variables
+
+            pre = load_pretrained_variables(conf.finetune, conf.arch)
+            params = jax.tree.map(jnp.asarray, pre["params"])
+            stats = pre.get("batch_stats")
+            stats = jax.tree.map(jnp.asarray, stats) if stats else state.batch_stats
+            state = state.replace(
+                params=params,
+                batch_stats=stats,
+                ema_params=jax.tree.map(jnp.copy, params)
+                if state.ema_params is not None else None,
+                ema_batch_stats=jax.tree.map(jnp.copy, stats)
+                if state.ema_batch_stats is not None else None,
+            )
+            logger.info(f"loaded pretrained weights from {conf.finetune}")
         state = jax.device_put(state, meshlib.replicated(mesh))
 
         def build_step_fns(model, grad_accum):
