@@ -22,13 +22,12 @@ The result plugs into training and evaluation:
 import argparse
 import os
 
-# keep conversion host-side: no TPU needed to convert weights
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# conversion is pure host-side weight shuffling — never touch an accelerator
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_platforms", "cpu")
 
 
 def main() -> None:
