@@ -159,6 +159,63 @@ def test_finetune_from_converted(reference_pt, tmp_path, monkeypatch):
     assert float(np.max(np.abs(got - pre))) < 0.02
 
 
+def test_dino_finetune_from_reference_pt(tmp_path):
+    """train_dino finetune= consumes a reference DINO .pt: the student AND
+    teacher state_dicts both load (they are different nets — the saved
+    checkpoint must stay near its own source, not the other's)."""
+    from models.vit import dino as torch_dino
+
+    kw = dict(image_size=32, window_size=8, depth=2, dim=32, n_head=2,
+              dim_ff=64, dropout=0.0, drop_attn=0.0, drop_ff=0.0,
+              drop_path=0.0, dim_head_out=64, use_bn=False,
+              norm_last_layer=True, depth_head=3, dim_head_ff=64,
+              dim_head_bottleneck=16)
+
+    def mk(seed):
+        torch.manual_seed(seed)
+        return torch_dino(**kw)
+
+    student, teacher = mk(0), mk(1)
+    pt = str(tmp_path / "dino-epoch.pt")
+    torch.save({"student": student.state_dict(), "teacher": teacher.state_dict(),
+                "scheduler": {}, "optimizer": {}, "conf": {}}, pt)
+
+    from vision_transformers_tpu.config.schema import load_config
+    from vision_transformers_tpu.train.checkpoint import restore_checkpoint
+    from vision_transformers_tpu.train.dino import train_dino
+    from vision_transformers_tpu.utils.torch_convert import load_pretrained_variables
+
+    conf = load_config(
+        os.path.join(ROOT, "configs", "dino_deit-s-16.conf"),
+        overrides=[
+            "training.epoch=1", "training.dataloader.batch_size=8",
+            "arch.depth=2", "arch.dim=32", "arch.n_head=2", "arch.dim_ff=64",
+            "arch.image_size=32", "arch.window_size=8", "arch.dim_head_out=64",
+            "arch.dim_head_ff=64", "arch.dim_head_bottleneck=16",
+            "task.global_crop_size=32", "task.local_crop_size=16",
+            "task.n_local_crop=2", "dataset_path=/nonexistent",
+            "precision=f32", "data_backend=synthetic", f"finetune={pt}",
+            f"checker.storage=[{{type: local, path: {tmp_path}/ck}}]",
+        ])
+    metrics = train_dino(conf)
+    assert np.isfinite(metrics["loss"])
+
+    saved = restore_checkpoint(str(tmp_path / "ck" / "epoch-001"))["state"]
+    v_student = load_pretrained_variables(f"{pt}:student", conf.arch)["params"]
+    v_teacher = load_pretrained_variables(f"{pt}:teacher", conf.arch)["params"]
+    pe_s = np.asarray(v_student["backbone"]["pos_embed"])
+    pe_t = np.asarray(v_teacher["backbone"]["pos_embed"])
+
+    def dist(a, b):
+        return float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+
+    # a few optimizer steps / EMA updates drift ~1e-3; two independent inits
+    # differ ~0.1 — each net must sit near its own source
+    assert dist(saved["student"]["backbone"]["pos_embed"], pe_s) < 0.02
+    assert dist(saved["teacher"]["backbone"]["pos_embed"], pe_t) < 0.02
+    assert dist(pe_s, pe_t) > 0.05  # the sources ARE distinguishable
+
+
 def test_load_pretrained_variables_key_suffix(reference_pt):
     from vision_transformers_tpu.config.schema import load_config
     from vision_transformers_tpu.utils.torch_convert import load_pretrained_variables

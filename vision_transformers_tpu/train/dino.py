@@ -125,6 +125,22 @@ def train_dino(conf: ImageNetConfig) -> dict:
         student_params = variables["params"]
         teacher_params = jax.tree.map(jnp.copy, student_params)  # init from student
 
+        if conf.finetune:
+            from ..utils.torch_convert import load_pretrained_variables
+
+            if os.path.isfile(conf.finetune):
+                # a bare reference DINO .pt carries BOTH nets
+                # (reference train_dino.py:173-181)
+                student_params = jax.tree.map(jnp.asarray, load_pretrained_variables(
+                    f"{conf.finetune}:student", conf.arch)["params"])
+                teacher_params = jax.tree.map(jnp.asarray, load_pretrained_variables(
+                    f"{conf.finetune}:teacher", conf.arch)["params"])
+            else:  # converted dir or PATH:key — teacher re-seeded from student
+                student_params = jax.tree.map(jnp.asarray, load_pretrained_variables(
+                    conf.finetune, conf.arch)["params"])
+                teacher_params = jax.tree.map(jnp.copy, student_params)
+            logger.info(f"loaded pretrained weights from {conf.finetune}")
+
         last_mask = _last_layer_mask(student_params)
 
         # Full conf-driven gradient pipeline (reference train_dino.py:110-132,
