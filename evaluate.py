@@ -29,29 +29,6 @@ if os.environ.get("JAX_PLATFORMS"):
 import jax.numpy as jnp
 
 
-def _load_variables(path: str, arch_cfg, use_ema: bool) -> dict:
-    """Variables from a converted dir / torch .pt / training checkpoint."""
-    from vision_transformers_tpu.train.checkpoint import restore_checkpoint
-    from vision_transformers_tpu.utils.torch_convert import load_pretrained_variables
-
-    base = path.rsplit(":", 1)[0] if ":" in path else path
-    if os.path.isfile(base):  # torch .pt
-        return load_pretrained_variables(path, arch_cfg)
-    restored = restore_checkpoint(path)
-    if "params" in restored:  # converted variables checkpoint
-        return restored
-    if "state" in restored:  # training checkpoint {"state": ..., "epoch": ...}
-        state = restored["state"]
-        params = state.get("ema_params") if use_ema else None
-        stats = state.get("ema_batch_stats") if use_ema else None
-        variables = {"params": params if params is not None else state["params"]}
-        stats = stats if stats is not None else state.get("batch_stats")
-        if stats:
-            variables["batch_stats"] = stats
-        return variables
-    raise ValueError(f"unrecognized checkpoint layout at {path}: {sorted(restored)}")
-
-
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     parser.add_argument("--conf", required=True)
@@ -82,9 +59,11 @@ def main() -> None:
     settings = stage_settings(conf.training, 10**9)  # final-stage sizes
 
     with mesh:
+        from vision_transformers_tpu.utils.torch_convert import load_eval_variables
+
         model = conf.arch.make(dtype=dtype)
-        variables = _load_variables(args.checkpoint, conf.arch,
-                                    use_ema=not args.no_ema)
+        variables = load_eval_variables(args.checkpoint, conf.arch,
+                                        use_ema=not args.no_ema)
         params = jax.tree.map(jnp.asarray, variables["params"])
         stats = variables.get("batch_stats")
         stats = jax.tree.map(jnp.asarray, stats) if stats else None
@@ -94,7 +73,9 @@ def main() -> None:
         )
         state = jax.device_put(state, meshlib.replicated(mesh))
 
-        _, valid_iter, _ = _make_stage_loaders(conf, settings)
+        # valid_only: the train split need not exist on an eval host, and
+        # auto-backend resolution keys on valid.rec, not train.rec
+        _, valid_iter, _ = _make_stage_loaders(conf, settings, valid_only=True)
         eval_step = jax.jit(engine.make_eval_step(model, use_ema=False))
 
         dev_sums = None

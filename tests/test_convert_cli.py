@@ -216,6 +216,107 @@ def test_dino_finetune_from_reference_pt(tmp_path):
     assert dist(pe_s, pe_t) > 0.05  # the sources ARE distinguishable
 
 
+def test_evaluate_valid_only_records(reference_pt, tmp_path, monkeypatch, capsys):
+    """evaluate.py works against a dataset dir holding ONLY the validation
+    split (review fix: eval hosts don't carry train.rec, and auto-backend must
+    key on valid.rec — silently falling back to synthetic would publish
+    random-data metrics)."""
+    from PIL import Image
+
+    from vision_transformers_tpu.data.records import pack_image_folder
+
+    rng = np.random.default_rng(0)
+    for c in range(2):
+        d = tmp_path / "images" / f"class{c}"
+        d.mkdir(parents=True)
+        for i in range(3):
+            arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.jpg", quality=90)
+    data = tmp_path / "data"
+    data.mkdir()
+    assert pack_image_folder(str(tmp_path / "images"),
+                             str(data / "valid"), verbose=False) == 6
+
+    pt_path, _, _ = reference_pt
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate.py", "--conf", CONF, "--checkpoint", f"{pt_path}:model",
+    ] + ARCH_OVERRIDES + [
+        "training.dataloader.batch_size=8", "training.train_size=16",
+        "training.valid_size=16", "precision=f32",
+        "training.dataloader.num_workers=0", f"dataset_path={data}",
+    ])
+    _cli("evaluate").main()
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["n"] == 6  # the REAL images, wrap-padding zero-weighted
+    assert np.isfinite(result["loss"])
+
+
+def test_converter_error_paths(reference_pt, tmp_path):
+    """Review fixes: trained weight-norm gains vs norm_last_layer=true must
+    error; unknown checkpoint wrappers must name their keys; ':key' on a
+    converted dir must error rather than be ignored."""
+    from models.vit import dino as torch_dino
+
+    from vision_transformers_tpu.config.schema import load_config
+    from vision_transformers_tpu.utils.torch_convert import (
+        convert_variables, load_pretrained_variables, load_torch_checkpoint)
+
+    # trained gains + norm_last_layer=true conf
+    kw = dict(image_size=16, window_size=8, depth=1, dim=32, n_head=2,
+              dim_ff=64, dropout=0.0, drop_attn=0.0, drop_ff=0.0,
+              drop_path=0.0, dim_head_out=32, use_bn=False,
+              norm_last_layer=False, depth_head=2, dim_head_ff=48,
+              dim_head_bottleneck=16)
+    tm = torch_dino(**kw)
+    with torch.no_grad():
+        dict(tm.named_parameters())["head.last.weight_g"].normal_(1.0, 0.3)
+    sd = {k: np.asarray(v.detach()) for k, v in tm.state_dict().items()}
+    good = dict(kw, norm_last_layer=False)
+    convert_variables({"type": "dino", **good}, sd)  # fine when conf matches
+    with pytest.raises(ValueError, match="norm_last_layer"):
+        convert_variables({"type": "dino", **dict(kw, norm_last_layer=True)}, sd)
+
+    # unknown wrapper keys
+    weird = str(tmp_path / "weird.pt")
+    torch.save({"generator": tm.state_dict(), "discriminator": {}}, weird)
+    with pytest.raises(KeyError, match="pass key="):
+        load_torch_checkpoint(weird)
+
+    # :key on a converted dir
+    pt_path, _, _ = reference_pt
+    conf = load_config(CONF, ARCH_OVERRIDES)
+    with pytest.raises(ValueError, match="exactly one variable set"):
+        load_pretrained_variables(f"{tmp_path}:ema", conf.arch)
+
+
+def test_predict_cli(reference_pt, tmp_path, monkeypatch, capsys):
+    """predict.py classifies image files from a reference .pt: one JSON line
+    per file, probabilities sum to ~1, labels file honored."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    files = []
+    for i in range(2):
+        p = tmp_path / f"img{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)).save(p)
+        files.append(str(p))
+    labels = tmp_path / "labels.txt"
+    labels.write_text("".join(f"name{i}\n" for i in range(5)))
+
+    pt_path, _, _ = reference_pt
+    monkeypatch.setattr(sys, "argv", [
+        "predict.py", "--conf", CONF, "--checkpoint", f"{pt_path}:model",
+        "--topk", "3", "--labels", str(labels), "--size", "16",
+    ] + files + ARCH_OVERRIDES + ["precision=f32"])
+    _cli("predict").main()
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [e["file"] for e in lines] == files
+    for e in lines:
+        assert len(e["topk"]) == 3
+        assert e["topk"][0]["prob"] >= e["topk"][1]["prob"]
+        assert e["topk"][0]["label"].startswith("name")
+
+
 def test_load_pretrained_variables_key_suffix(reference_pt):
     from vision_transformers_tpu.config.schema import load_config
     from vision_transformers_tpu.utils.torch_convert import load_pretrained_variables

@@ -126,15 +126,18 @@ def train_dino(conf: ImageNetConfig) -> dict:
         teacher_params = jax.tree.map(jnp.copy, student_params)  # init from student
 
         if conf.finetune:
-            from ..utils.torch_convert import load_pretrained_variables
+            from ..utils.torch_convert import (convert_variables,
+                                               load_pretrained_variables,
+                                               load_torch_dino_checkpoint)
 
             if os.path.isfile(conf.finetune):
                 # a bare reference DINO .pt carries BOTH nets
-                # (reference train_dino.py:173-181)
-                student_params = jax.tree.map(jnp.asarray, load_pretrained_variables(
-                    f"{conf.finetune}:student", conf.arch)["params"])
-                teacher_params = jax.tree.map(jnp.asarray, load_pretrained_variables(
-                    f"{conf.finetune}:teacher", conf.arch)["params"])
+                # (reference train_dino.py:173-181); one file read
+                sd_s, sd_t = load_torch_dino_checkpoint(conf.finetune)
+                student_params = jax.tree.map(jnp.asarray, convert_variables(
+                    conf.arch, sd_s)["params"])
+                teacher_params = jax.tree.map(jnp.asarray, convert_variables(
+                    conf.arch, sd_t)["params"])
             else:  # converted dir or PATH:key — teacher re-seeded from student
                 student_params = jax.tree.map(jnp.asarray, load_pretrained_variables(
                     conf.finetune, conf.arch)["params"])

@@ -60,33 +60,42 @@ def _compute_dtype(conf: ImageNetConfig):
     return jnp.float32
 
 
-def _resolve_backend(conf: ImageNetConfig) -> str:
+def _resolve_backend(conf: ImageNetConfig, valid_only: bool = False) -> str:
     if conf.data_backend != "auto":
         return conf.data_backend
-    if os.path.exists(os.path.join(conf.dataset_path, "train.rec")):
+    names = ("valid.rec", "val.rec") if valid_only else ("train.rec",)
+    if any(os.path.exists(os.path.join(conf.dataset_path, n)) for n in names):
         return "records"
     return "synthetic"
 
 
-def _make_stage_loaders(conf: ImageNetConfig, settings) -> Tuple[Callable, Callable, int]:
-    """(train_iter(epoch), valid_iter(), epoch_len) for one progressive stage."""
+def _make_stage_loaders(conf: ImageNetConfig, settings,
+                        valid_only: bool = False) -> Tuple[Callable, Callable, int]:
+    """(train_iter(epoch), valid_iter(), epoch_len) for one progressive stage.
+
+    ``valid_only`` (evaluate.py) skips every train-side construction — the
+    train split need not even exist — and returns ``(None, valid_iter, 0)``.
+    """
     training = conf.training
     batch = training.dataloader.batch_size
     n_class = getattr(conf.arch, "n_class", 1000)
-    backend = _resolve_backend(conf)
+    backend = _resolve_backend(conf, valid_only)
 
     if backend == "synthetic":
         from ..data.synthetic import SyntheticDataset
 
+        valid_ds = SyntheticDataset(batch * 2, settings.valid_size, n_class,
+                                    seed=conf.seed + 1, normalized=True)
+        valid_iter = lambda: valid_ds.batches(batch)
+        if valid_only:
+            return None, valid_iter, 0
         n_train = max(batch * 4, 64)
         train_ds = SyntheticDataset(n_train, settings.train_size, n_class,
                                     seed=conf.seed, normalized=True)
-        valid_ds = SyntheticDataset(batch * 2, settings.valid_size, n_class,
-                                    seed=conf.seed + 1, normalized=True)
         epoch_len = max(n_train // batch, 1)
         return (
             lambda epoch: train_ds.batches(batch, seed=epoch),
-            lambda: valid_ds.batches(batch),
+            valid_iter,
             epoch_len,
         )
 
@@ -95,10 +104,24 @@ def _make_stage_loaders(conf: ImageNetConfig, settings) -> Tuple[Callable, Calla
                                      make_host_batch_prep, make_valid_prep)
         from ..data.records import RecordDataset
 
-        train_ds = RecordDataset(os.path.join(conf.dataset_path, "train"))
         valid_name = "valid" if os.path.exists(
             os.path.join(conf.dataset_path, "valid.rec")) else "val"
         valid_ds = RecordDataset(os.path.join(conf.dataset_path, valid_name))
+        valid_prep_only = make_valid_prep()
+        valid_loader_only = HostLoader(
+            valid_ds, batch, settings.valid_size, train=False,
+            num_workers=training.dataloader.num_workers, drop_last=False)
+
+        def valid_iter():
+            for hb in valid_loader_only.epoch(0):
+                yield valid_prep_only(jnp.asarray(hb["image"]),
+                                      jnp.asarray(hb["label"]),
+                                      jnp.asarray(hb["n_valid"]))
+
+        if valid_only:
+            return None, valid_iter, 0
+
+        train_ds = RecordDataset(os.path.join(conf.dataset_path, "train"))
 
         workers = training.dataloader.num_workers
         host_backend = training.augment_backend == "host"
@@ -119,8 +142,6 @@ def _make_stage_loaders(conf: ImageNetConfig, settings) -> Tuple[Callable, Calla
         train_loader = HostLoader(train_ds, batch, settings.train_size, train=True,
                                   num_workers=workers, seed=conf.seed,
                                   host_augment=host_augment)
-        valid_loader = HostLoader(valid_ds, batch, settings.valid_size, train=False,
-                                  num_workers=workers, drop_last=False)
 
         if host_backend:
             augment = make_host_batch_prep(
@@ -139,7 +160,6 @@ def _make_stage_loaders(conf: ImageNetConfig, settings) -> Tuple[Callable, Calla
                 cutmix=settings.cutmix,
                 mix_before_aug=training.mix_before_aug,
             )
-        valid_prep = make_valid_prep()
         aug_key = jax.random.PRNGKey(conf.seed + 17)
 
         def train_iter(epoch: int):
@@ -155,11 +175,6 @@ def _make_stage_loaders(conf: ImageNetConfig, settings) -> Tuple[Callable, Calla
                 else:
                     yield augment(key, jnp.asarray(hb["image"]),
                                   jnp.asarray(hb["label"]))
-
-        def valid_iter():
-            for hb in valid_loader.epoch(0):
-                yield valid_prep(jnp.asarray(hb["image"]), jnp.asarray(hb["label"]),
-                                 jnp.asarray(hb["n_valid"]))
 
         return train_iter, valid_iter, max(len(train_loader), 1)
 

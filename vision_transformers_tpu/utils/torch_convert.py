@@ -176,7 +176,13 @@ def _convert_dino(sd, cfg):
     if not cfg.norm_last_layer:
         head["last_g"] = sd["head.last.weight_g"].reshape(-1)
     elif "head.last.weight_g" in sd:
-        sd["head.last.weight_g"]  # consume; frozen at 1, not a flax param
+        g = sd["head.last.weight_g"]
+        if not np.allclose(g, 1.0, atol=1e-6):
+            raise ValueError(
+                "checkpoint has trained weight-norm gains (head.last.weight_g"
+                " != 1) but the conf says norm_last_layer=true, which freezes"
+                " the gain — set arch.norm_last_layer=false to keep them"
+            )
 
     params = {"backbone": _vit_body(sd, cfg.depth), "head": head}
     stats = {"head": head_stats} if head_stats else None
@@ -556,6 +562,11 @@ def load_pretrained_variables(path: str, arch_cfg: Any,
     if os.path.isfile(path):  # torch .pt
         sd = load_torch_checkpoint(path, key=key)
         return convert_variables(arch_cfg, sd)
+    if key is not None:
+        raise ValueError(
+            f"':{key}' selects a state_dict inside a torch .pt; {path} is a "
+            f"converted checkpoint dir, which stores exactly one variable set"
+        )
     from ..train.checkpoint import restore_checkpoint
 
     variables = restore_checkpoint(path)
@@ -566,6 +577,41 @@ def load_pretrained_variables(path: str, arch_cfg: Any,
             f"use conf resume= for training checkpoints"
         )
     return variables
+
+
+def load_eval_variables(path: str, arch_cfg: Any,
+                        use_ema: bool = True) -> Dict[str, Any]:
+    """Inference-ready ``variables`` from ANY checkpoint this framework
+    understands: a converted variables dir, a reference torch ``.pt``
+    (optionally with a ``:key`` suffix), or a training checkpoint written by
+    train.py (EMA weights by default when present).
+
+    Used by evaluate.py and predict.py.
+    """
+    base = path.rsplit(":", 1)[0] if ":" in path else path
+    if os.path.isfile(base):  # torch .pt
+        return load_pretrained_variables(path, arch_cfg)
+    from ..train.checkpoint import restore_checkpoint
+
+    restored = restore_checkpoint(path)
+    if "params" in restored:  # converted variables checkpoint
+        return restored
+    if "state" in restored:  # training checkpoint {"state": ..., "epoch": ...}
+        state = restored["state"]
+        if "params" not in state:
+            raise ValueError(
+                f"{path} is a DINO training checkpoint (student/teacher); the "
+                f"DINO head has no classifier to evaluate — export the "
+                f"backbone or evaluate a classification run instead"
+            )
+        params = state.get("ema_params") if use_ema else None
+        stats = state.get("ema_batch_stats") if use_ema else None
+        variables = {"params": params if params is not None else state["params"]}
+        stats = stats if stats is not None else state.get("batch_stats")
+        if stats:
+            variables["batch_stats"] = stats
+        return variables
+    raise ValueError(f"unrecognized checkpoint layout at {path}: {sorted(restored)}")
 
 
 def load_torch_checkpoint(path: str, key: Optional[str] = None) -> Dict[str, np.ndarray]:
@@ -586,12 +632,44 @@ def load_torch_checkpoint(path: str, key: Optional[str] = None) -> Dict[str, np.
     elif isinstance(obj, dict) and any(
         isinstance(v, dict) for v in obj.values()
     ) and not any(hasattr(v, "numpy") for v in obj.values()):
-        for candidate in ("model", "ema", "student", "state_dict"):
+        for candidate in ("model", "ema", "student", "teacher", "state_dict"):
             if candidate in obj:
                 obj = obj[candidate]
                 break
+        else:
+            raise KeyError(
+                f"{path} is a checkpoint wrapper, not a bare state_dict; "
+                f"pass key= to select one of: {sorted(obj)}"
+            )
+    return _numpy_state_dict(obj, path)
+
+
+def load_torch_dino_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray],
+                                                   Dict[str, np.ndarray]]:
+    """Both nets of a reference DINO checkpoint (reference
+    train_dino.py:173-181) with ONE file read: (student_sd, teacher_sd)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for k in ("student", "teacher"):
+        if k not in obj:
+            raise KeyError(
+                f"{path} is not a DINO checkpoint (no {k!r}); "
+                f"top-level keys: {sorted(obj)}"
+            )
+    return (_numpy_state_dict(obj["student"], path),
+            _numpy_state_dict(obj["teacher"], path))
+
+
+def _numpy_state_dict(obj: Any, path: str) -> Dict[str, np.ndarray]:
     out = {}
     for k, v in obj.items():
+        if not hasattr(v, "detach") and not isinstance(v, np.ndarray):
+            raise ValueError(
+                f"{path}: entry {k!r} is {type(v).__name__}, not a tensor — "
+                f"this is a checkpoint wrapper; pass key= to select a "
+                f"state_dict"
+            )
         if k.startswith("module."):
             k = k[len("module."):]
         out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
