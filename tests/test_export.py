@@ -101,17 +101,17 @@ def _torch_tiny(family):
         cfg = {"type": "nfnet", "n_class": 10, "channels": [16, 32, 64, 64],
                "depths": [1, 2, 1, 1], "groups": [8, 8, 8, 8],
                "stochastic_depth": 0.0, "dropout": 0.0}
-    elif family == "efficientnetv2":
-        from models.efficientnet import efficientnetv2
+    elif family in ("efficientnet", "efficientnetv2"):
+        from models.efficientnet import efficientnet, efficientnetv2
 
-        tm = efficientnetv2(0.25, 0.25)
+        tm = (efficientnetv2 if family == "efficientnetv2" else efficientnet)(0.25, 0.25)
         with torch.no_grad():
             for name, buf in tm.named_buffers():
                 if "running_mean" in name:
                     buf.normal_(0, 0.2)
                 if "running_var" in name:
                     buf.uniform_(0.5, 1.5)
-        cfg = {"type": "efficientnetv2", "width": 0.25, "depth": 0.25,
+        cfg = {"type": family, "width": 0.25, "depth": 0.25,
                "n_class": 1000}
     elif family == "nfefficientnetv2":
         from models.nfefficientnet import nfefficientnetv2
@@ -125,7 +125,8 @@ def _torch_tiny(family):
 
 
 FAMILIES = ["vit", "dino", "swin_transformer", "pvt", "halo_transformer",
-            "twins_svt", "nfnet", "efficientnetv2", "nfefficientnetv2"]
+            "twins_svt", "nfnet", "efficientnet", "efficientnetv2",
+            "nfefficientnetv2"]
 
 
 @pytest.mark.parametrize("family", FAMILIES)

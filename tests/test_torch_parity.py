@@ -302,6 +302,27 @@ def test_efficientnetv2_logits_match_reference():
         tm, x, image_size=64, rtol=2e-3, atol=5e-4)
 
 
+def test_efficientnet_v1_logits_match_reference():
+    """v1 (all non-fused MBConv + SE everywhere) exercises the converter
+    branches EfficientNetV2's fused early stages skip."""
+    from models.efficientnet import efficientnet as torch_eff
+
+    tm = torch_eff(0.25, 0.25).eval()
+    with torch.no_grad():
+        for name, buf in tm.named_buffers():
+            if "running_mean" in name:
+                buf.normal_(0, 0.2)
+            if "running_var" in name:
+                buf.uniform_(0.5, 1.5)
+
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    _logits_close(
+        {"type": "efficientnet", "width": 0.25, "depth": 0.25,
+         "n_class": 1000},
+        tm, x, image_size=64, rtol=2e-3, atol=5e-4)
+
+
 # ---------------------------------------------------------------------------
 # NF-EfficientNetV2
 # ---------------------------------------------------------------------------
