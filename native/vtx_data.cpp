@@ -269,15 +269,128 @@ int vtx_resize(const uint8_t* in, int in_h, int in_w,
 }
 
 // Fused: JPEG decode + crop + resize (the per-sample host hot path).
+//
+// Decodes ONLY the region the resample kernel reads: libjpeg-turbo's
+// jpeg_crop_scanline / jpeg_skip_scanlines restrict IDCT + upsampling to the
+// crop box plus a margin of (filter support + one iMCU) pixels, so a small
+// RandomResizedCrop touches a fraction of the image's DCT blocks.  The
+// margin guarantees (a) every resample tap lands strictly inside the decoded
+// region (Pillow's kernel reads up to `support` pixels OUTSIDE the box —
+// clipping only at true image edges, where the region edge coincides), and
+// (b) the iMCU guard absorbs any fancy-upsampling context effects at the
+// region boundary — so the output stays bit-identical to a full decode.
+//
+// max_denom > 1 additionally enables DCT-domain scaled decode (libjpeg
+// scale_num/scale_denom, the Image.draft() trick): when the crop is at least
+// 2/4/8x the target, the IDCT itself produces the downscaled pixels and the
+// Pillow resampler runs on 4-64x fewer of them.  NOT bit-identical to the
+// full-resolution path (a resolution pyramid never is) — opt-in via
+// vtx_decode_crop_resize_fast.
+static int decode_region_resample(const uint8_t* data, size_t len,
+                                  int box_x, int box_y, int box_w, int box_h,
+                                  uint8_t* out, int out_h, int out_w,
+                                  int filter, int max_denom) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_error_exit;
+    std::vector<uint8_t> region;
+    std::vector<JSAMPROW> rows;
+    if (setjmp(jerr.jump)) {
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, len);
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    const int W = static_cast<int>(cinfo.image_width);
+    const int H = static_cast<int>(cinfo.image_height);
+    if (box_x < 0 || box_y < 0 || box_w <= 0 || box_h <= 0 ||
+        box_x + box_w > W || box_y + box_h > H || out_w <= 0 || out_h <= 0) {
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    cinfo.out_color_space = JCS_RGB;
+
+    int denom = 1;
+    for (int cand = max_denom; cand > 1; cand >>= 1) {
+        if (box_w >= out_w * cand && box_h >= out_h * cand) {
+            denom = cand;
+            break;
+        }
+    }
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = static_cast<unsigned>(denom);
+    jpeg_calc_output_dimensions(&cinfo);
+    const int SW = static_cast<int>(cinfo.output_width);
+    const int SH = static_cast<int>(cinfo.output_height);
+    const double sx = static_cast<double>(SW) / W;
+    const double sy = static_cast<double>(SH) / H;
+    double bx0 = box_x * sx, bx1 = (box_x + box_w) * sx;
+    double by0 = box_y * sy, by1 = (box_y + box_h) * sy;
+
+    const Filter f = get_filter(filter);
+    const double fsx = std::max((bx1 - bx0) / out_w, 1.0);
+    const double fsy = std::max((by1 - by0) / out_h, 1.0);
+    const int mx = static_cast<int>(std::ceil(f.support * fsx)) + 1 + 16;
+    const int my = static_cast<int>(std::ceil(f.support * fsy)) + 1 + 16;
+    const int rx0 = std::max(0, static_cast<int>(std::floor(bx0)) - mx);
+    const int rx1 = std::min(SW, static_cast<int>(std::ceil(bx1)) + mx);
+    const int ry0 = std::max(0, static_cast<int>(std::floor(by0)) - my);
+    const int ry1 = std::min(SH, static_cast<int>(std::ceil(by1)) + my);
+
+    jpeg_start_decompress(&cinfo);
+
+    JDIMENSION xoff = static_cast<JDIMENSION>(rx0);
+    JDIMENSION xw = static_cast<JDIMENSION>(rx1 - rx0);
+    if (rx0 > 0 || rx1 < SW) {
+        // adjusted outward to iMCU boundaries by libjpeg
+        jpeg_crop_scanline(&cinfo, &xoff, &xw);
+    }
+    if (ry0 > 0) jpeg_skip_scanlines(&cinfo, static_cast<JDIMENSION>(ry0));
+    const int y_start = static_cast<int>(cinfo.output_scanline);
+    const int n_rows = ry1 - y_start;
+    if (n_rows <= 0 || static_cast<int>(xw) <= 0) {
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    region.resize(static_cast<size_t>(n_rows) * xw * 3);
+    rows.resize(n_rows);
+    for (int y = 0; y < n_rows; ++y)
+        rows[y] = region.data() + static_cast<size_t>(y) * xw * 3;
+    while (static_cast<int>(cinfo.output_scanline) < ry1) {
+        const int done = static_cast<int>(cinfo.output_scanline) - y_start;
+        jpeg_read_scanlines(&cinfo, &rows[done],
+                            static_cast<JDIMENSION>(ry1) - cinfo.output_scanline);
+    }
+    // remaining scanlines are intentionally unread; destroy releases the
+    // decompressor without requiring jpeg_finish_decompress
+    jpeg_destroy_decompress(&cinfo);
+
+    resample(region.data(), n_rows, static_cast<int>(xw),
+             bx0 - xoff, by0 - y_start, bx1 - xoff, by1 - y_start,
+             out, out_h, out_w, filter);
+    return 0;
+}
+
 int vtx_decode_crop_resize(const uint8_t* data, size_t len,
                            int box_x, int box_y, int box_w, int box_h,
                            uint8_t* out, int out_h, int out_w, int filter) {
-    int w = 0, h = 0;
-    if (vtx_jpeg_dims(data, len, &w, &h)) return 1;
-    std::vector<uint8_t> full(static_cast<size_t>(w) * h * 3);
-    if (vtx_jpeg_decode(data, len, full.data(), w, h)) return 1;
-    return vtx_resize(full.data(), h, w, box_x, box_y, box_w, box_h,
-                      out, out_h, out_w, filter);
+    return decode_region_resample(data, len, box_x, box_y, box_w, box_h,
+                                  out, out_h, out_w, filter, 1);
+}
+
+// DCT-scaled variant: up to 8x8 fewer pixels through IDCT + resample when
+// the crop is much larger than the target.  Quality-neutral for training
+// augmentation (the bicubic low-pass dominates) but not bit-identical.
+int vtx_decode_crop_resize_fast(const uint8_t* data, size_t len,
+                                int box_x, int box_y, int box_w, int box_h,
+                                uint8_t* out, int out_h, int out_w, int filter) {
+    return decode_region_resample(data, len, box_x, box_y, box_w, box_h,
+                                  out, out_h, out_w, filter, 8);
 }
 
 }  // extern "C"

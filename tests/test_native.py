@@ -77,3 +77,61 @@ def test_invalid_payload_returns_none():
 def test_bad_box_rejected(jpeg):
     arr, _ = jpeg
     assert native.resize(arr, (150, 0, 40, 40), (8, 8)) is None
+
+@pytest.fixture(scope="module")
+def photo_jpeg():
+    """A larger, smooth 'photo-like' 4:2:0 JPEG — the region-restricted
+    decode must stay bit-identical to a full decode on exactly this kind of
+    payload (chroma upsampling context crosses the crop boundary)."""
+    yy, xx = np.mgrid[0:375, 0:500]
+    r = (127 + 100 * np.sin(xx / 23.0) * np.cos(yy / 31.0)).astype(np.uint8)
+    g = (127 + 100 * np.cos(xx / 17.0 + yy / 41.0)).astype(np.uint8)
+    b = ((xx + yy) % 256).astype(np.uint8)
+    arr = np.stack([r, g, b], -1)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=90,
+                              subsampling=2)  # 4:2:0 — worst case for crops
+    return buf.getvalue()
+
+
+def test_region_decode_bit_identical_to_full_decode(photo_jpeg):
+    """decode_crop_resize restricts IDCT to the crop region; every box —
+    iMCU-misaligned, tiny, edge-touching — must match full-decode + PIL
+    resize pixel for pixel."""
+    import random
+
+    full = np.asarray(Image.open(io.BytesIO(photo_jpeg)).convert("RGB"))
+    H, W = full.shape[:2]
+    rng = random.Random(11)
+    boxes = [(0, 0, W, H), (0, 0, 33, 29), (W - 31, H - 27, 31, 27),
+             (247, 131, 17, 19)]
+    for _ in range(16):
+        w = rng.randint(12, W)
+        h = rng.randint(12, H)
+        boxes.append((rng.randint(0, W - w), rng.randint(0, H - h), w, h))
+    for box in boxes:
+        x, y, w, h = box
+        pil = np.asarray(Image.fromarray(full).resize(
+            (64, 64), Image.BICUBIC, box=(x, y, x + w, y + h)))
+        nat = native.decode_crop_resize(photo_jpeg, box, (64, 64))
+        np.testing.assert_array_equal(nat, pil, err_msg=f"box={box}")
+
+
+def test_fast_decode_close_to_exact(photo_jpeg):
+    """fast=True (DCT-scaled decode) is not bit-identical but must stay
+    visually equivalent when the crop is >=2x the target."""
+    box = (40, 30, 448, 320)  # 2x both dims at 224 target -> denom kicks in
+    exact = native.decode_crop_resize(photo_jpeg, box, (160, 224))
+    fast = native.decode_crop_resize(photo_jpeg, box, (160, 224), fast=True)
+    assert fast.shape == exact.shape
+    diff = np.abs(exact.astype(np.int16) - fast.astype(np.int16))
+    assert diff.mean() < 4.0 and np.percentile(diff, 99) < 24
+
+
+def test_fast_decode_small_crop_is_exact(photo_jpeg):
+    """When the crop is under 2x the target no DCT scaling applies and the
+    fast path degenerates to the exact region decode."""
+    box = (40, 30, 96, 96)
+    exact = native.decode_crop_resize(photo_jpeg, box, (64, 64))
+    fast = native.decode_crop_resize(photo_jpeg, box, (64, 64), fast=True)
+    np.testing.assert_array_equal(fast, exact)

@@ -68,6 +68,9 @@ def _load() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.vtx_decode_crop_resize.restype = ctypes.c_int
+        lib.vtx_decode_crop_resize_fast.argtypes = \
+            lib.vtx_decode_crop_resize.argtypes
+        lib.vtx_decode_crop_resize_fast.restype = ctypes.c_int
         lib.vtx_resize.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -97,9 +100,16 @@ def jpeg_dims(payload: bytes) -> Optional[Tuple[int, int]]:
 
 
 def decode_crop_resize(payload: bytes, box: Tuple[int, int, int, int],
-                       out_size: Tuple[int, int],
-                       filter: int = BICUBIC) -> Optional[np.ndarray]:
+                       out_size: Tuple[int, int], filter: int = BICUBIC,
+                       fast: bool = False) -> Optional[np.ndarray]:
     """JPEG decode + crop(box=(x, y, w, h)) + Pillow-compatible resize.
+
+    The decode is restricted to the crop region plus the resample kernel's
+    support (libjpeg-turbo scanline cropping) — bit-identical to a full
+    decode.  ``fast`` additionally enables DCT-domain scaled decode (the
+    ``Image.draft()`` trick) when the crop is ≥2× the target: up to 64×
+    fewer pixels through IDCT+resample, quality-neutral for augmentation but
+    not bit-identical.
 
     Returns uint8 [out_h, out_w, 3] or None on failure (caller falls back
     to PIL)."""
@@ -110,7 +120,8 @@ def decode_crop_resize(payload: bytes, box: Tuple[int, int, int, int],
     out = np.empty((out_h, out_w, 3), np.uint8)
     buf = (ctypes.c_uint8 * len(payload)).from_buffer_copy(payload)
     x, y, w, h = box
-    rc = lib.vtx_decode_crop_resize(
+    fn = lib.vtx_decode_crop_resize_fast if fast else lib.vtx_decode_crop_resize
+    rc = fn(
         buf, len(payload), x, y, w, h,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_h, out_w, filter,
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import io
 import math
+import os
 import queue
 import random as pyrandom
 import threading
@@ -85,8 +86,13 @@ def decode_random_resized_crop(payload: bytes, size: int, rng: pyrandom.Random,
         if dims is not None:
             w, h = dims
             left, top, cw, ch = _rrc_box(w, h, rng, scale, ratio)
+            # VTX_FAST_DECODE=1: DCT-scaled decode when the crop is >=2x the
+            # target — large throughput win, quality-neutral for training
+            # augmentation, but no longer bit-identical to the PIL path
+            fast = os.environ.get("VTX_FAST_DECODE", "0") not in ("0", "", "false")
             out = native.decode_crop_resize(payload, (left, top, cw, ch),
-                                            (size, size), native.BICUBIC)
+                                            (size, size), native.BICUBIC,
+                                            fast=fast)
             if out is not None:
                 return out
 
