@@ -287,7 +287,8 @@ int vtx_resize(const uint8_t* in, int in_h, int in_w,
 // full-resolution path (a resolution pyramid never is) — opt-in via
 // vtx_decode_crop_resize_fast.
 static int decode_region_resample(const uint8_t* data, size_t len,
-                                  int box_x, int box_y, int box_w, int box_h,
+                                  double box_x0, double box_y0,
+                                  double box_x1, double box_y1,
                                   uint8_t* out, int out_h, int out_w,
                                   int filter, int max_denom) {
     jpeg_decompress_struct cinfo;
@@ -308,8 +309,12 @@ static int decode_region_resample(const uint8_t* data, size_t len,
     }
     const int W = static_cast<int>(cinfo.image_width);
     const int H = static_cast<int>(cinfo.image_height);
-    if (box_x < 0 || box_y < 0 || box_w <= 0 || box_h <= 0 ||
-        box_x + box_w > W || box_y + box_h > H || out_w <= 0 || out_h <= 0) {
+    // float-box tolerance: clamp sub-ULP spill from coordinate arithmetic
+    box_x0 = std::max(box_x0, 0.0);
+    box_y0 = std::max(box_y0, 0.0);
+    box_x1 = std::min(box_x1, static_cast<double>(W));
+    box_y1 = std::min(box_y1, static_cast<double>(H));
+    if (box_x1 <= box_x0 || box_y1 <= box_y0 || out_w <= 0 || out_h <= 0) {
         jpeg_destroy_decompress(&cinfo);
         return 1;
     }
@@ -317,7 +322,8 @@ static int decode_region_resample(const uint8_t* data, size_t len,
 
     int denom = 1;
     for (int cand = max_denom; cand > 1; cand >>= 1) {
-        if (box_w >= out_w * cand && box_h >= out_h * cand) {
+        if (box_x1 - box_x0 >= static_cast<double>(out_w) * cand &&
+            box_y1 - box_y0 >= static_cast<double>(out_h) * cand) {
             denom = cand;
             break;
         }
@@ -329,8 +335,8 @@ static int decode_region_resample(const uint8_t* data, size_t len,
     const int SH = static_cast<int>(cinfo.output_height);
     const double sx = static_cast<double>(SW) / W;
     const double sy = static_cast<double>(SH) / H;
-    double bx0 = box_x * sx, bx1 = (box_x + box_w) * sx;
-    double by0 = box_y * sy, by1 = (box_y + box_h) * sy;
+    double bx0 = box_x0 * sx, bx1 = box_x1 * sx;
+    double by0 = box_y0 * sy, by1 = box_y1 * sy;
 
     const Filter f = get_filter(filter);
     const double fsx = std::max((bx1 - bx0) / out_w, 1.0);
@@ -379,7 +385,10 @@ static int decode_region_resample(const uint8_t* data, size_t len,
 int vtx_decode_crop_resize(const uint8_t* data, size_t len,
                            int box_x, int box_y, int box_w, int box_h,
                            uint8_t* out, int out_h, int out_w, int filter) {
-    return decode_region_resample(data, len, box_x, box_y, box_w, box_h,
+    if (box_x < 0 || box_y < 0 || box_w <= 0 || box_h <= 0) return 1;
+    return decode_region_resample(data, len, box_x, box_y,
+                                  static_cast<double>(box_x) + box_w,
+                                  static_cast<double>(box_y) + box_h,
                                   out, out_h, out_w, filter, 1);
 }
 
@@ -389,8 +398,26 @@ int vtx_decode_crop_resize(const uint8_t* data, size_t len,
 int vtx_decode_crop_resize_fast(const uint8_t* data, size_t len,
                                 int box_x, int box_y, int box_w, int box_h,
                                 uint8_t* out, int out_h, int out_w, int filter) {
-    return decode_region_resample(data, len, box_x, box_y, box_w, box_h,
+    if (box_x < 0 || box_y < 0 || box_w <= 0 || box_h <= 0) return 1;
+    return decode_region_resample(data, len, box_x, box_y,
+                                  static_cast<double>(box_x) + box_w,
+                                  static_cast<double>(box_y) + box_h,
                                   out, out_h, out_w, filter, 8);
+}
+
+// Float-coordinate box: decode + resample the sub-pixel region [x0,x1)x[y0,y1)
+// to (out_h, out_w).  Bit-identical to Pillow resize((NW, NH)) of the whole
+// image followed by an integer crop whose box maps back to these source
+// coordinates: the resample centers ((x0 + (i+0.5)*(x1-x0)/out_w)) and the
+// filter scale ((x1-x0)/out_w) coincide column-for-column with the full
+// resize's, so the coefficient tables are identical — this fuses the
+// reference eval transform Resize(short side)+CenterCrop into ONE region
+// decode (reference factory.py:217-224).
+int vtx_decode_fbox_resize(const uint8_t* data, size_t len,
+                           double x0, double y0, double x1, double y1,
+                           uint8_t* out, int out_h, int out_w, int filter) {
+    return decode_region_resample(data, len, x0, y0, x1, y1,
+                                  out, out_h, out_w, filter, 1);
 }
 
 }  // extern "C"

@@ -135,3 +135,26 @@ def test_fast_decode_small_crop_is_exact(photo_jpeg):
     exact = native.decode_crop_resize(photo_jpeg, box, (64, 64))
     fast = native.decode_crop_resize(photo_jpeg, box, (64, 64), fast=True)
     np.testing.assert_array_equal(fast, exact)
+
+
+@pytest.mark.parametrize("dims", [(500, 375), (375, 500), (347, 461),
+                                  (150, 231), (257, 257)])
+def test_decode_valid_fused_matches_pil(dims, monkeypatch):
+    """The fused eval decode (one sub-pixel-box region decode) must equal the
+    reference two-stage path (resize whole image, then center crop) pixel for
+    pixel across orientations, odd dims, and the upscale case."""
+    from vision_transformers_tpu.data import pipeline
+
+    w, h = dims
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.stack([(xx * 5) % 256, (yy * 3) % 256, (xx + yy) % 256],
+                   -1).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=90, subsampling=2)
+    payload = buf.getvalue()
+
+    fused = pipeline.decode_valid(payload, 224)
+    monkeypatch.setattr(native, "available", lambda: False)
+    pil = pipeline.decode_valid(payload, 224)
+    assert fused.shape == pil.shape == (224, 224, 3)
+    np.testing.assert_array_equal(fused, pil)

@@ -71,6 +71,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.vtx_decode_crop_resize_fast.argtypes = \
             lib.vtx_decode_crop_resize.argtypes
         lib.vtx_decode_crop_resize_fast.restype = ctypes.c_int
+        lib.vtx_decode_fbox_resize.argtypes = [
+            u8p, ctypes.c_size_t,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.vtx_decode_fbox_resize.restype = ctypes.c_int
         lib.vtx_resize.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -123,6 +129,31 @@ def decode_crop_resize(payload: bytes, box: Tuple[int, int, int, int],
     fn = lib.vtx_decode_crop_resize_fast if fast else lib.vtx_decode_crop_resize
     rc = fn(
         buf, len(payload), x, y, w, h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_h, out_w, filter,
+    )
+    if rc != 0:
+        return None
+    return out
+
+
+def decode_fbox_resize(payload: bytes, fbox: Tuple[float, float, float, float],
+                       out_size: Tuple[int, int],
+                       filter: int = BICUBIC) -> Optional[np.ndarray]:
+    """JPEG decode + sub-pixel box (x0, y0, x1, y1) + Pillow resize.
+
+    Bit-identical to resizing the WHOLE image and integer-cropping the
+    window these source coordinates map to (the resample centers and filter
+    scale coincide column-for-column) — fuses Resize(short)+CenterCrop into
+    one region-restricted decode.  Returns None on failure."""
+    lib = _load()
+    if lib is None:
+        return None
+    out_h, out_w = out_size
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    buf = (ctypes.c_uint8 * len(payload)).from_buffer_copy(payload)
+    x0, y0, x1, y1 = fbox
+    rc = lib.vtx_decode_fbox_resize(
+        buf, len(payload), x0, y0, x1, y1,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_h, out_w, filter,
     )
     if rc != 0:

@@ -120,9 +120,11 @@ def _valid_geometry(w: int, h: int, size: int):
 def decode_valid(payload: bytes, size: int):
     """Resize(size+32, bicubic) + CenterCrop(size) (factory.py:217-224).
 
-    The two-stage PIL path (resize whole image, then crop) is reproduced
-    exactly; the native path resizes the whole image the same way, then
-    crops the resized array."""
+    The native path fuses the two PIL stages (resize whole image, crop the
+    result) into ONE region-restricted decode: the center crop's window is
+    mapped back to sub-pixel source coordinates and only that region is
+    decoded + resampled — bit-identical because the resample centers and
+    filter scale coincide column-for-column with the full resize's."""
     from . import native
 
     if native.available():
@@ -130,10 +132,12 @@ def decode_valid(payload: bytes, size: int):
         if dims is not None:
             w, h = dims
             nw, nh, left, top = _valid_geometry(w, h, size)
-            resized = native.decode_crop_resize(payload, (0, 0, w, h), (nh, nw),
-                                                native.BICUBIC)
-            if resized is not None:
-                return resized[top:top + size, left:left + size]
+            fbox = (left * w / nw, top * h / nh,
+                    (left + size) * w / nw, (top + size) * h / nh)
+            out = native.decode_fbox_resize(payload, fbox, (size, size),
+                                            native.BICUBIC)
+            if out is not None:
+                return out
 
     from PIL import Image
 
