@@ -158,3 +158,19 @@ def test_decode_valid_fused_matches_pil(dims, monkeypatch):
     pil = pipeline.decode_valid(payload, 224)
     assert fused.shape == pil.shape == (224, 224, 3)
     np.testing.assert_array_equal(fused, pil)
+
+
+def test_concurrent_decode_thread_safety(photo_jpeg):
+    """The loader calls the native decode from a thread pool with the GIL
+    released — per-call decompressor state must make concurrent calls
+    independent (same results as serial)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    boxes = [(13 * i % 200, 7 * i % 150, 96 + i % 64, 96 + (3 * i) % 64)
+             for i in range(64)]
+    serial = [native.decode_crop_resize(photo_jpeg, b, (64, 64)) for b in boxes]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        threaded = list(ex.map(
+            lambda b: native.decode_crop_resize(photo_jpeg, b, (64, 64)), boxes))
+    for s, t, b in zip(serial, threaded, boxes):
+        np.testing.assert_array_equal(s, t, err_msg=f"box={b}")
