@@ -113,3 +113,27 @@ def test_log_freq_drives_intra_epoch_logging(tmp_path, capsys):
     train_classification(conf2)
     out2 = capsys.readouterr().out
     assert not [l for l in out2.splitlines() if "epoch 0;" in l and "img/s:" in l]
+
+
+def test_async_checkpoint_rapid_saves_roundtrip(tmp_path):
+    """save_checkpoint is async (the disk commit overlaps the next epoch);
+    back-to-back saves must serialize correctly and restore must see the
+    committed data even when called right after save returns."""
+    import numpy as np
+
+    from vision_transformers_tpu.train import checkpoint as ckpt
+
+    tree1 = {"step": 1, "w": np.arange(8, dtype=np.float32)}
+    tree2 = {"step": 2, "w": np.arange(8, dtype=np.float32) * 3}
+    p1 = str(tmp_path / "epoch-001")
+    p2 = str(tmp_path / "epoch-002")
+    ckpt.save_checkpoint(p1, tree1)
+    ckpt.save_checkpoint(p2, tree2)          # waits for p1's commit first
+    out1 = ckpt.restore_checkpoint(p1)       # waits for p2's commit
+    out2 = ckpt.restore_checkpoint(p2)
+    assert out1["step"] == 1 and out2["step"] == 2
+    np.testing.assert_array_equal(out2["w"], tree2["w"])
+    assert ckpt.latest_checkpoint(str(tmp_path)) == p2
+    # overwrite of an existing checkpoint (crash-retry path) still works
+    ckpt.save_checkpoint(p2, tree1, block=True)
+    assert ckpt.restore_checkpoint(p2)["step"] == 1

@@ -8,20 +8,50 @@ round-trips sharded train state across any mesh shape.
 
 from __future__ import annotations
 
+import atexit
 import os
 from typing import Any, Optional
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_checkpoint"]
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_checkpoint",
+           "wait_for_checkpoints"]
+
+_CKPTR = None
 
 
 def _checkpointer():
-    import orbax.checkpoint as ocp
+    """Process-wide AsyncCheckpointer singleton.
 
-    return ocp.StandardCheckpointer()
+    ``StandardCheckpointer`` is an ``AsyncCheckpointer``: ``save`` returns
+    once the device arrays are snapshotted to host and commits to disk in a
+    background thread, so the next training epoch hides the write.  One
+    instance per process keeps the background machinery (and its multihost
+    coordination) alive across epochs."""
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _CKPTR = ocp.StandardCheckpointer()
+        atexit.register(wait_for_checkpoints)
+    return _CKPTR
 
 
-def save_checkpoint(path: str, tree: Any) -> str:
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async checkpoint write has committed.
+
+    Errors from a failed background write surface here (and on the next
+    ``save_checkpoint``/``restore_checkpoint`` call)."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
+def save_checkpoint(path: str, tree: Any, block: bool = False) -> str:
     """Save a pytree (params, opt state, step, ...) to ``path`` (a directory).
+
+    Async by default: returns once the arrays are snapshotted to host; the
+    disk commit runs in the background (epoch N+1's training hides epoch
+    N's write — the reference's torch.save blocks the loop instead,
+    train.py:208-217).  At most one save is in flight: a previous pending
+    write is finished first.  ``block=True`` waits for this save's commit.
 
     Overwrite is delegated to orbax's ``force=True``, which removes an
     existing checkpoint with proper cross-process synchronization — a bare
@@ -29,8 +59,10 @@ def save_checkpoint(path: str, tree: Any) -> str:
     """
     path = os.path.abspath(path)
     ckptr = _checkpointer()
-    ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
+    ckptr.save(path, tree, force=True)
+    if block:
+        ckptr.wait_until_finished()
     return path
 
 
@@ -39,6 +71,7 @@ def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     structure/sharding/dtypes of the restored tree."""
     import jax
 
+    wait_for_checkpoints()  # a just-written checkpoint may still be in flight
     path = os.path.abspath(path)
     ckptr = _checkpointer()
     if target is None:

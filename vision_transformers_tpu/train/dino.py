@@ -307,4 +307,7 @@ def train_dino(conf: ImageNetConfig) -> dict:
                 f"epoch-{epoch + 1:03d}",
             )
 
+        from . import checkpoint as ckpt
+
+        ckpt.wait_for_checkpoints()  # commit the last async write
         return final_metrics

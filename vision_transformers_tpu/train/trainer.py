@@ -380,4 +380,10 @@ def train_classification(conf: ImageNetConfig) -> dict:
                         f"{settings.train_size}px, grad_accum {settings.grad_accumulation}"
                     )
 
+        try:  # commit the last epoch's async checkpoint write
+            from . import checkpoint as ckpt
+
+            ckpt.wait_for_checkpoints()
+        except Exception as e:
+            logger.info(f"final checkpoint commit failed: {e!r}")
         return final_metrics
