@@ -31,6 +31,12 @@ def main() -> None:
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
 
+    # SIGTERM (scheduler preemption) → checkpoint at the next step boundary
+    # and exit cleanly; restart with resume=auto to continue
+    from vision_transformers_tpu.utils import preempt
+
+    preempt.install()
+
     conf = vtx.load_arg_config()
     if conf.n_device == 0:
         conf.n_device = len(jax.devices())

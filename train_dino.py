@@ -18,6 +18,12 @@ from vision_transformers_tpu.train.dino import train_dino
 
 
 def main() -> None:
+    # SIGTERM (scheduler preemption) → checkpoint at the next step boundary
+    # and exit cleanly; restart with resume=auto to continue
+    from vision_transformers_tpu.utils import preempt
+
+    preempt.install()
+
     conf = vtx.load_arg_config()
     if conf.n_device == 0:
         conf.n_device = len(jax.devices())

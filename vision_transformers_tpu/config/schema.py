@@ -159,7 +159,9 @@ class ImageNetConfig(_Base):
     precision: str = "bf16"  # compute dtype: bf16 | f32
     seed: int = 0
     data_backend: str = "auto"  # auto | records | synthetic
-    resume: Optional[str] = None  # checkpoint dir to restore (superset of reference)
+    # checkpoint dir to restore, or "auto" = newest epoch-/preempt- save in
+    # the checker's local storage (superset of reference: no resume there)
+    resume: Optional[str] = None
     profile_dir: Optional[str] = None  # write a jax.profiler trace of early steps
     # start from pretrained weights: a converted orbax variables dir
     # (convert.py) or a reference torch .pt (converted on the fly);

@@ -13,7 +13,7 @@ import os
 from typing import Any, Optional
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "latest_checkpoint",
-           "wait_for_checkpoints"]
+           "find_resume_checkpoint", "wait_for_checkpoints"]
 
 _CKPTR = None
 
@@ -83,6 +83,27 @@ def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
         target,
     )
     return ckptr.restore(path, abstract)
+
+
+def find_resume_checkpoint(directory: str) -> Optional[str]:
+    """Newest restorable checkpoint for ``resume=auto``: the highest-numbered
+    ``epoch-NNN`` or ``preempt-NNN`` dir.  On a number tie ``epoch-`` wins —
+    a completed epoch strictly supersedes a mid-epoch preemption save of the
+    same epoch."""
+    if not os.path.isdir(directory):
+        return None
+    best, best_key = None, (-1, -1)
+    for name in os.listdir(directory):
+        for prefix, priority in (("epoch-", 1), ("preempt-", 0)):
+            if not name.startswith(prefix):
+                continue
+            try:
+                n = int(name[len(prefix):].split(".")[0])
+            except ValueError:
+                continue
+            if (n, priority) > best_key:
+                best_key, best = (n, priority), os.path.join(directory, name)
+    return best
 
 
 def latest_checkpoint(directory: str, prefix: str = "epoch-") -> Optional[str]:

@@ -27,6 +27,7 @@ from flax import struct
 
 from ..config.schema import ImageNetConfig
 from ..parallel import mesh as meshlib
+from ..utils import preempt
 from ..utils.logging import get_logger, is_primary
 from . import loss as L
 from .optim import make_optimizer
@@ -247,13 +248,15 @@ def train_dino(conf: ImageNetConfig) -> dict:
         step_jit = jax.jit(train_step, donate_argnums=(0,))
         checker = conf.checker.make()
 
-        start_epoch = 0
-        if conf.resume:
-            from . import checkpoint as ckpt
+        from . import checkpoint as ckpt
+        from .trainer import PREEMPT_CHECK_STEPS, _resolve_resume
 
-            restored = ckpt.restore_checkpoint(conf.resume, {"state": state, "epoch": 0})
+        start_epoch = 0
+        resume_path = _resolve_resume(conf.resume, checker, logger)
+        if resume_path:
+            restored = ckpt.restore_checkpoint(resume_path, {"state": state, "epoch": 0})
             state, start_epoch = restored["state"], int(restored["epoch"]) + 1
-            logger.info(f"resumed from {conf.resume} at epoch {start_epoch}")
+            logger.info(f"resumed from {resume_path} at epoch {start_epoch}")
 
         final_metrics: dict = {}
         aug_key = jax.random.PRNGKey(conf.seed + 23)
@@ -291,6 +294,19 @@ def train_dino(conf: ImageNetConfig) -> dict:
                 loss_sum = metrics["loss"] if loss_sum is None \
                     else loss_sum + metrics["loss"]
                 n_steps += 1
+                if n_steps % PREEMPT_CHECK_STEPS == 0 \
+                        and preempt.requested_global():
+                    logger.info(
+                        f"preemption requested: checkpointing at epoch {epoch} "
+                        f"step {n_steps} and exiting"
+                    )
+                    # stores epoch-1 so resume re-runs the interrupted epoch
+                    checker.checkpoint(
+                        {"state": jax.device_get(state), "epoch": epoch - 1},
+                        f"preempt-{epoch + 1:03d}",
+                    )
+                    ckpt.wait_for_checkpoints()
+                    return final_metrics
             dt = time.perf_counter() - t0
 
             final_metrics = {
@@ -307,7 +323,15 @@ def train_dino(conf: ImageNetConfig) -> dict:
                 f"epoch-{epoch + 1:03d}",
             )
 
-        from . import checkpoint as ckpt
+            # epoch-boundary preemption poll: the epoch checkpoint above is
+            # already the resume point, so just commit it and exit
+            if preempt.requested_global():
+                logger.info(
+                    f"preemption requested: epoch {epoch} checkpoint committed, "
+                    "exiting"
+                )
+                ckpt.wait_for_checkpoints()
+                return final_metrics
 
         ckpt.wait_for_checkpoints()  # commit the last async write
         return final_metrics

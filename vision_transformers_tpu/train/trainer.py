@@ -28,6 +28,7 @@ import numpy as np
 from ..config.schema import ImageNetConfig
 from ..data.factory import stage_settings
 from ..parallel import mesh as meshlib
+from ..utils import preempt
 from ..utils.logging import get_logger, is_primary
 from . import engine
 from .optim import make_optimizer
@@ -181,6 +182,31 @@ def _make_stage_loaders(conf: ImageNetConfig, settings,
     raise ValueError(f"unknown data_backend {conf.data_backend!r}")
 
 
+def _resolve_resume(resume: Optional[str], checker, logger) -> Optional[str]:
+    """``resume=auto`` → newest epoch-/preempt- checkpoint in the checker's
+    local storage (None when empty: fresh start); any other value is a
+    checkpoint path used verbatim."""
+    if resume != "auto":
+        return resume
+    from . import checkpoint as ckpt
+
+    for storage in checker.storages:
+        directory = getattr(storage, "path", None)
+        if directory is None:
+            continue
+        found = ckpt.find_resume_checkpoint(directory)
+        if found:
+            return found
+    logger.info("resume=auto: no checkpoint found, starting fresh")
+    return None
+
+
+# poll cadence for cooperative preemption (utils/preempt.py).  A collective
+# in multi-process runs — every process calls it at the same global step.
+# Epoch boundaries also poll, so short epochs stay responsive.
+PREEMPT_CHECK_STEPS = int(os.environ.get("VTX_PREEMPT_CHECK_STEPS", "32"))
+
+
 def train_classification(conf: ImageNetConfig) -> dict:
     """Run the full classification recipe; returns final metrics."""
     logger = get_logger()
@@ -258,13 +284,14 @@ def train_classification(conf: ImageNetConfig) -> dict:
 
         train_step, eval_step = build_step_fns(model, settings.grad_accumulation)
 
-        start_epoch = 0
-        if conf.resume:
-            from . import checkpoint as ckpt
+        from . import checkpoint as ckpt
 
-            restored = ckpt.restore_checkpoint(conf.resume, {"state": state, "epoch": 0})
+        start_epoch = 0
+        resume_path = _resolve_resume(conf.resume, checker, logger)
+        if resume_path:
+            restored = ckpt.restore_checkpoint(resume_path, {"state": state, "epoch": 0})
             state, start_epoch = restored["state"], int(restored["epoch"]) + 1
-            logger.info(f"resumed from {conf.resume} at epoch {start_epoch}")
+            logger.info(f"resumed from {resume_path} at epoch {start_epoch}")
 
         current_stage = 0 if prog.step <= 0 else min(
             start_epoch // prog.step, max(training.epoch // prog.step, 1) - 1)
@@ -319,6 +346,21 @@ def train_classification(conf: ImageNetConfig) -> dict:
                     jax.profiler.stop_trace()
                     profiling = False
                     logger.info(f"profiler trace written to {conf.profile_dir}")
+                if n_steps % PREEMPT_CHECK_STEPS == 0 \
+                        and preempt.requested_global():
+                    if profiling:
+                        jax.profiler.stop_trace()
+                    logger.info(
+                        f"preemption requested: checkpointing at epoch {epoch} "
+                        f"step {n_steps} and exiting"
+                    )
+                    # stores epoch-1 so resume re-runs the interrupted epoch
+                    checker.checkpoint(
+                        {"state": jax.device_get(state), "epoch": epoch - 1},
+                        f"preempt-{epoch + 1:03d}",
+                    )
+                    ckpt.wait_for_checkpoints()
+                    return final_metrics
                 t_fetch = time.perf_counter()
             if profiling:
                 jax.profiler.stop_trace()
@@ -362,6 +404,16 @@ def train_classification(conf: ImageNetConfig) -> dict:
                 raise
             except Exception as e:  # reference also survives ckpt failure
                 logger.info(f"checkpoint failed at epoch {epoch}: {e!r}")
+
+            # epoch-boundary preemption poll: the epoch checkpoint above is
+            # already the resume point, so just commit it and exit
+            if preempt.requested_global():
+                logger.info(
+                    f"preemption requested: epoch {epoch} checkpoint committed, "
+                    "exiting"
+                )
+                ckpt.wait_for_checkpoints()
+                return final_metrics
 
             # ---- progressive stage advance (reference train.py:221-233) ----
             if prog.step > 0 and (epoch + 1) % prog.step == 0:
