@@ -57,6 +57,15 @@ with mesh:
     restored = ckpt.restore_checkpoint(ckpt_dir)
     assert int(restored["step"]) == 2, restored
 
+# preemption flag propagation: only process 1 receives the "signal"; the
+# allgathered global view must be True on BOTH (the collective every
+# trainer step-boundary poll relies on)
+from vision_transformers_tpu.utils import preempt
+assert preempt.requested_global() is False
+if pid == 1:
+    preempt._EVENT.set()
+assert preempt.requested_global() is True, "peer flag not visible"
+
 print(f"WORKER_OK {pid}")
 '''
 
