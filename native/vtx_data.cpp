@@ -290,7 +290,7 @@ static int decode_region_resample(const uint8_t* data, size_t len,
                                   double box_x0, double box_y0,
                                   double box_x1, double box_y1,
                                   uint8_t* out, int out_h, int out_w,
-                                  int filter, int max_denom) {
+                                  int filter, int max_denom, bool strict) {
     jpeg_decompress_struct cinfo;
     JpegErr jerr;
     cinfo.err = jpeg_std_error(&jerr.mgr);
@@ -309,6 +309,14 @@ static int decode_region_resample(const uint8_t* data, size_t len,
     }
     const int W = static_cast<int>(cinfo.image_width);
     const int H = static_cast<int>(cinfo.image_height);
+    if (strict &&
+        (box_x0 < 0.0 || box_y0 < 0.0 || box_x1 > W || box_y1 > H)) {
+        // integer callers: out-of-bounds boxes are bugs — reject (the
+        // caller falls back to PIL) rather than silently decode a clamped,
+        // geometrically wrong crop
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
     // float-box tolerance: clamp sub-ULP spill from coordinate arithmetic
     box_x0 = std::max(box_x0, 0.0);
     box_y0 = std::max(box_y0, 0.0);
@@ -389,7 +397,7 @@ int vtx_decode_crop_resize(const uint8_t* data, size_t len,
     return decode_region_resample(data, len, box_x, box_y,
                                   static_cast<double>(box_x) + box_w,
                                   static_cast<double>(box_y) + box_h,
-                                  out, out_h, out_w, filter, 1);
+                                  out, out_h, out_w, filter, 1, true);
 }
 
 // DCT-scaled variant: up to 8x8 fewer pixels through IDCT + resample when
@@ -402,7 +410,7 @@ int vtx_decode_crop_resize_fast(const uint8_t* data, size_t len,
     return decode_region_resample(data, len, box_x, box_y,
                                   static_cast<double>(box_x) + box_w,
                                   static_cast<double>(box_y) + box_h,
-                                  out, out_h, out_w, filter, 8);
+                                  out, out_h, out_w, filter, 8, true);
 }
 
 // Float-coordinate box: decode + resample the sub-pixel region [x0,x1)x[y0,y1)
@@ -417,7 +425,7 @@ int vtx_decode_fbox_resize(const uint8_t* data, size_t len,
                            double x0, double y0, double x1, double y1,
                            uint8_t* out, int out_h, int out_w, int filter) {
     return decode_region_resample(data, len, x0, y0, x1, y1,
-                                  out, out_h, out_w, filter, 1);
+                                  out, out_h, out_w, filter, 1, false);
 }
 
 }  // extern "C"

@@ -57,14 +57,21 @@ with mesh:
     restored = ckpt.restore_checkpoint(ckpt_dir)
     assert int(restored["step"]) == 2, restored
 
-# preemption flag propagation: only process 1 receives the "signal"; the
-# allgathered global view must be True on BOTH (the collective every
-# trainer step-boundary poll relies on)
+# preemption flag propagation: only process 1 receives the "signal".
+# (a) blocking epoch-boundary collective: global view True on BOTH
+# (b) lagging in-step poller: False while clean, then True on BOTH exactly
+#     one poll after the flag is globally visible — the aligned-decision
+#     property the collective checkpoint save depends on
 from vision_transformers_tpu.utils import preempt
 assert preempt.requested_global() is False
+poll = preempt.make_global_poller()
+assert poll() is False          # no pending result yet
+assert poll() is False          # reads poll 1's all-clear
 if pid == 1:
     preempt._EVENT.set()
 assert preempt.requested_global() is True, "peer flag not visible"
+assert poll() is False, "poller must lag: decision not yet aligned"
+assert poll() is True, "lagging poller never saw the peer flag"
 
 print(f"WORKER_OK {pid}")
 '''

@@ -174,3 +174,15 @@ def test_concurrent_decode_thread_safety(photo_jpeg):
             lambda b: native.decode_crop_resize(photo_jpeg, b, (64, 64)), boxes))
     for s, t, b in zip(serial, threaded, boxes):
         np.testing.assert_array_equal(s, t, err_msg=f"box={b}")
+
+
+def test_oob_integer_box_rejected(photo_jpeg):
+    """A partially out-of-bounds integer crop box must be rejected (None ->
+    PIL fallback), not silently clamped into a geometrically wrong crop."""
+    from PIL import Image as _I
+    import io as _io
+    w, h = _I.open(_io.BytesIO(photo_jpeg)).size
+    assert native.decode_crop_resize(photo_jpeg, (w - 10, 0, 40, 40), (16, 16)) is None
+    assert native.decode_crop_resize(photo_jpeg, (0, h - 5, 10, 40), (16, 16)) is None
+    assert native.decode_crop_resize(photo_jpeg, (w - 10, 0, 40, 40), (16, 16),
+                                     fast=True) is None

@@ -130,3 +130,16 @@ def test_sigterm_checkpoints_and_resume_auto(tmp_path, corpus):
     text2 = log2.read_text(errors="replace")
     assert rc2 == 0, f"exit {rc2}:\n{text2}"
     assert "resumed from" in text2
+
+
+def test_finders_skip_orbax_tmp_dirs(tmp_path):
+    """Uncommitted orbax temporaries (left by a kill mid-commit) must never
+    be selected for resume — restoring one crash-loops every relaunch."""
+    from vision_transformers_tpu.train.checkpoint import (
+        find_resume_checkpoint, latest_checkpoint)
+
+    (tmp_path / "epoch-004").mkdir()
+    (tmp_path / "epoch-005.orbax-checkpoint-tmp-1723456789").mkdir()
+    (tmp_path / "preempt-006.orbax-checkpoint-tmp-99").mkdir()
+    assert find_resume_checkpoint(str(tmp_path)).endswith("epoch-004")
+    assert latest_checkpoint(str(tmp_path)).endswith("epoch-004")

@@ -58,33 +58,42 @@ def _load() -> Optional[ctypes.CDLL]:
         except OSError:
             return None
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.vtx_jpeg_dims.argtypes = [u8p, ctypes.c_size_t,
-                                      ctypes.POINTER(ctypes.c_int),
-                                      ctypes.POINTER(ctypes.c_int)]
-        lib.vtx_jpeg_dims.restype = ctypes.c_int
-        lib.vtx_decode_crop_resize.argtypes = [
-            u8p, ctypes.c_size_t,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ]
-        lib.vtx_decode_crop_resize.restype = ctypes.c_int
-        lib.vtx_decode_crop_resize_fast.argtypes = \
-            lib.vtx_decode_crop_resize.argtypes
-        lib.vtx_decode_crop_resize_fast.restype = ctypes.c_int
-        lib.vtx_decode_fbox_resize.argtypes = [
-            u8p, ctypes.c_size_t,
-            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ]
-        lib.vtx_decode_fbox_resize.restype = ctypes.c_int
-        lib.vtx_resize.argtypes = [
-            u8p, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ]
-        lib.vtx_resize.restype = ctypes.c_int
+        try:
+            _bind(lib, u8p)
+        except AttributeError:
+            # a stale cached .so missing newer symbols (mtime skew after a
+            # copy-preserving deploy) must degrade to the PIL path, not crash
+            return None
         _LIB = lib
         return _LIB
+
+
+def _bind(lib: ctypes.CDLL, u8p) -> None:
+    lib.vtx_jpeg_dims.argtypes = [u8p, ctypes.c_size_t,
+                                  ctypes.POINTER(ctypes.c_int),
+                                  ctypes.POINTER(ctypes.c_int)]
+    lib.vtx_jpeg_dims.restype = ctypes.c_int
+    lib.vtx_decode_crop_resize.argtypes = [
+        u8p, ctypes.c_size_t,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.vtx_decode_crop_resize.restype = ctypes.c_int
+    lib.vtx_decode_crop_resize_fast.argtypes = \
+        lib.vtx_decode_crop_resize.argtypes
+    lib.vtx_decode_crop_resize_fast.restype = ctypes.c_int
+    lib.vtx_decode_fbox_resize.argtypes = [
+        u8p, ctypes.c_size_t,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.vtx_decode_fbox_resize.restype = ctypes.c_int
+    lib.vtx_resize.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.vtx_resize.restype = ctypes.c_int
 
 
 def available() -> bool:

@@ -42,6 +42,12 @@ __all__ = [
     "make_valid_prep",
 ]
 
+# VTX_FAST_DECODE=1: DCT-scaled decode when a train crop is >=2x the target
+# — large throughput win, quality-neutral for training augmentation, but no
+# longer bit-identical to the PIL path.  Same truthiness as VTX_NATIVE_DATA;
+# parsed once (set it before import / process start).
+_FAST_DECODE = os.environ.get("VTX_FAST_DECODE", "0") not in ("0", "", "false", "off")
+
 
 def _pil_open(payload: bytes):
     from PIL import Image
@@ -86,13 +92,9 @@ def decode_random_resized_crop(payload: bytes, size: int, rng: pyrandom.Random,
         if dims is not None:
             w, h = dims
             left, top, cw, ch = _rrc_box(w, h, rng, scale, ratio)
-            # VTX_FAST_DECODE=1: DCT-scaled decode when the crop is >=2x the
-            # target — large throughput win, quality-neutral for training
-            # augmentation, but no longer bit-identical to the PIL path
-            fast = os.environ.get("VTX_FAST_DECODE", "0") not in ("0", "", "false")
             out = native.decode_crop_resize(payload, (left, top, cw, ch),
                                             (size, size), native.BICUBIC,
-                                            fast=fast)
+                                            fast=_FAST_DECODE)
             if out is not None:
                 return out
 

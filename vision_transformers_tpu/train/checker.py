@@ -107,9 +107,15 @@ class Checker:
         for reporter in self.reporters:
             reporter.report(step=step, **scalars)
 
-    def checkpoint(self, obj: Any, name: str) -> None:
+    def checkpoint(self, obj: Any, name: str, raise_on_error: bool = False) -> None:
+        """``raise_on_error``: propagate save failures instead of the
+        reference's log-and-continue (train.py:207-219) — used by the
+        preemption handoff, which must not report success without a
+        committed checkpoint."""
         for storage in self.storages:
             try:
                 storage.save(obj, name)
-            except Exception as e:  # reference swallows errors too (train.py:207-219)
+            except Exception as e:
+                if raise_on_error:
+                    raise
                 get_logger().info(f"checkpoint save failed: {e!r}")

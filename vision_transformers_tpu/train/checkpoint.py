@@ -85,6 +85,14 @@ def restore_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     return ckptr.restore(path, abstract)
 
 
+def _is_tmp_checkpoint(name: str) -> bool:
+    """True for orbax's uncommitted temporaries
+    (``<name>.orbax-checkpoint-tmp-<ts>``) — left behind when a process is
+    killed mid-commit (e.g. the preemption grace window expiring on an
+    async write).  Resuming from one would crash-loop every relaunch."""
+    return ".orbax-checkpoint-tmp" in name
+
+
 def find_resume_checkpoint(directory: str) -> Optional[str]:
     """Newest restorable checkpoint for ``resume=auto``: the highest-numbered
     ``epoch-NNN`` or ``preempt-NNN`` dir.  On a number tie ``epoch-`` wins —
@@ -94,6 +102,8 @@ def find_resume_checkpoint(directory: str) -> Optional[str]:
         return None
     best, best_key = None, (-1, -1)
     for name in os.listdir(directory):
+        if _is_tmp_checkpoint(name):
+            continue
         for prefix, priority in (("epoch-", 1), ("preempt-", 0)):
             if not name.startswith(prefix):
                 continue
@@ -113,7 +123,7 @@ def latest_checkpoint(directory: str, prefix: str = "epoch-") -> Optional[str]:
     best = None
     best_n = -1
     for name in os.listdir(directory):
-        if not name.startswith(prefix):
+        if not name.startswith(prefix) or _is_tmp_checkpoint(name):
             continue
         tail = name[len(prefix):].split(".")[0]
         try:

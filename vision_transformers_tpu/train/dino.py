@@ -259,6 +259,7 @@ def train_dino(conf: ImageNetConfig) -> dict:
             logger.info(f"resumed from {resume_path} at epoch {start_epoch}")
 
         final_metrics: dict = {}
+        poll_preempt = preempt.make_global_poller()
         aug_key = jax.random.PRNGKey(conf.seed + 23)
         log_freq = conf.log_freq if is_primary() else 0
         for epoch in range(start_epoch, training.epoch):
@@ -294,18 +295,19 @@ def train_dino(conf: ImageNetConfig) -> dict:
                 loss_sum = metrics["loss"] if loss_sum is None \
                     else loss_sum + metrics["loss"]
                 n_steps += 1
-                if n_steps % PREEMPT_CHECK_STEPS == 0 \
-                        and preempt.requested_global():
+                if n_steps % PREEMPT_CHECK_STEPS == 0 and poll_preempt():
                     logger.info(
                         f"preemption requested: checkpointing at epoch {epoch} "
                         f"step {n_steps} and exiting"
                     )
-                    # stores epoch-1 so resume re-runs the interrupted epoch
+                    # stores epoch-1 so resume re-runs the interrupted epoch;
+                    # a failed save must not exit 0 claiming success
                     checker.checkpoint(
                         {"state": jax.device_get(state), "epoch": epoch - 1},
-                        f"preempt-{epoch + 1:03d}",
+                        f"preempt-{epoch + 1:03d}", raise_on_error=True,
                     )
                     ckpt.wait_for_checkpoints()
+                    logger.info("preemption checkpoint committed")
                     return final_metrics
             dt = time.perf_counter() - t0
 
@@ -324,13 +326,12 @@ def train_dino(conf: ImageNetConfig) -> dict:
             )
 
             # epoch-boundary preemption poll: the epoch checkpoint above is
-            # already the resume point, so just commit it and exit
+            # already the resume point (its save propagates errors here —
+            # DINO's checkpoint call is not wrapped), so commit and exit
             if preempt.requested_global():
-                logger.info(
-                    f"preemption requested: epoch {epoch} checkpoint committed, "
-                    "exiting"
-                )
+                logger.info(f"preemption requested at epoch {epoch} boundary")
                 ckpt.wait_for_checkpoints()
+                logger.info(f"epoch {epoch} checkpoint committed, exiting")
                 return final_metrics
 
         ckpt.wait_for_checkpoints()  # commit the last async write

@@ -304,6 +304,7 @@ def train_classification(conf: ImageNetConfig) -> dict:
             train_step, eval_step = build_step_fns(model, settings.grad_accumulation)
 
         final_metrics: dict = {}
+        poll_preempt = preempt.make_global_poller()
         for epoch in range(start_epoch, training.epoch):
             # ---- train ----
             # per-step wall/data meters (reference train.py:251-252,264,271)
@@ -346,20 +347,23 @@ def train_classification(conf: ImageNetConfig) -> dict:
                     jax.profiler.stop_trace()
                     profiling = False
                     logger.info(f"profiler trace written to {conf.profile_dir}")
-                if n_steps % PREEMPT_CHECK_STEPS == 0 \
-                        and preempt.requested_global():
+                if n_steps % PREEMPT_CHECK_STEPS == 0 and poll_preempt():
                     if profiling:
                         jax.profiler.stop_trace()
                     logger.info(
                         f"preemption requested: checkpointing at epoch {epoch} "
                         f"step {n_steps} and exiting"
                     )
-                    # stores epoch-1 so resume re-runs the interrupted epoch
+                    # stores epoch-1 so resume re-runs the interrupted epoch.
+                    # A failed save must NOT exit 0 claiming success —
+                    # raise_on_error propagates (disk-full etc. crashes the
+                    # handoff visibly instead of silently losing the state)
                     checker.checkpoint(
                         {"state": jax.device_get(state), "epoch": epoch - 1},
-                        f"preempt-{epoch + 1:03d}",
+                        f"preempt-{epoch + 1:03d}", raise_on_error=True,
                     )
                     ckpt.wait_for_checkpoints()
+                    logger.info("preemption checkpoint committed")
                     return final_metrics
                 t_fetch = time.perf_counter()
             if profiling:
@@ -395,6 +399,7 @@ def train_classification(conf: ImageNetConfig) -> dict:
             if is_primary():
                 checker.log(step=epoch, **final_metrics)
 
+            epoch_ckpt_ok = True
             try:
                 checker.checkpoint(
                     {"state": jax.device_get(state), "epoch": epoch},
@@ -403,16 +408,22 @@ def train_classification(conf: ImageNetConfig) -> dict:
             except KeyboardInterrupt:
                 raise
             except Exception as e:  # reference also survives ckpt failure
+                epoch_ckpt_ok = False
                 logger.info(f"checkpoint failed at epoch {epoch}: {e!r}")
 
             # epoch-boundary preemption poll: the epoch checkpoint above is
-            # already the resume point, so just commit it and exit
+            # already the resume point — unless it failed, in which case the
+            # handoff must not exit 0 without a committed save (retry with
+            # errors propagating)
             if preempt.requested_global():
-                logger.info(
-                    f"preemption requested: epoch {epoch} checkpoint committed, "
-                    "exiting"
-                )
+                logger.info(f"preemption requested at epoch {epoch} boundary")
+                if not epoch_ckpt_ok:
+                    checker.checkpoint(
+                        {"state": jax.device_get(state), "epoch": epoch},
+                        f"epoch-{epoch + 1:03d}", raise_on_error=True,
+                    )
                 ckpt.wait_for_checkpoints()
+                logger.info(f"epoch {epoch} checkpoint committed, exiting")
                 return final_metrics
 
             # ---- progressive stage advance (reference train.py:221-233) ----
