@@ -83,6 +83,37 @@ class _JsonlReporter:
             f.write(json.dumps({"step": step, **scalars}) + "\n")
 
 
+@register("reporter", "tensorboard")
+class TensorboardReporter(TypedConfig):
+    """TensorBoard scalars (torch's SummaryWriter — event files readable by
+    any TensorBoard).  Conf: ``reporter: [{type: tensorboard, path: runs/x}]``.
+    Another observability upgrade over the reference (which logs to console
+    only, train.py:321-330)."""
+
+    path: str = "runs"
+
+    def make(self) -> "_TensorboardReporter":
+        return _TensorboardReporter(self.path)
+
+
+class _TensorboardReporter:
+    def __init__(self, path: str):
+        self.path = path
+        self._writer = None
+
+    def report(self, step: Optional[int] = None, **scalars: Any) -> None:
+        if not is_primary():
+            return
+        if self._writer is None:  # lazy: only rank 0 ever creates the file
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._writer = SummaryWriter(self.path)
+        for key, value in scalars.items():
+            if isinstance(value, (int, float)):
+                self._writer.add_scalar(key, value, global_step=step)
+        self._writer.flush()
+
+
 @register("checker", "checker")
 class CheckerConfig(TypedConfig):
     storage: List[Any] = []
