@@ -152,6 +152,24 @@ def test_dino_outputs_match_reference(norm_last_layer):
     _logits_close({"type": "dino", **kw}, tm, x)
 
 
+def test_dino_pos_embed_interpolation_matches_reference():
+    """Non-native crop sizes route through bicubic pos-embed interpolation
+    (reference models/vit.py:153-175, torch bicubic a=-0.75 / half-pixel /
+    no antialias): both the downscale (local crop) and upscale directions."""
+    from models.vit import dino as torch_dino
+
+    kw = dict(image_size=32, window_size=8, depth=2, dim=64, n_head=2,
+              dim_ff=128, dropout=0.0, drop_attn=0.0, drop_ff=0.0,
+              drop_path=0.0, dim_head_out=128, use_bn=False,
+              norm_last_layer=False, depth_head=3, dim_head_ff=96,
+              dim_head_bottleneck=32)
+    tm = torch_dino(**kw).eval()
+    rng = np.random.default_rng(5)
+    for size in (16, 24, 48):  # 4x4 grid -> 2x2 / 3x3 / 6x6
+        x = rng.normal(size=(2, size, size, 3)).astype(np.float32)
+        _logits_close({"type": "dino", **kw}, tm, x)
+
+
 # ---------------------------------------------------------------------------
 # Swin
 # ---------------------------------------------------------------------------

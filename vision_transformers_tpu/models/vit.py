@@ -7,8 +7,12 @@ TPU-native design notes:
   models/vit.py:177-203) becomes *static* resolution grouping: crops of equal
   spatial size are stacked into one batched forward at trace time, so the
   whole multi-crop step stays inside one jit
-- positional-embedding interpolation for resolution changes uses
-  jax.image.resize bicubic (reference: models/vit.py:153-175)
+- positional-embedding interpolation for resolution changes reproduces
+  torch's bicubic exactly (a=-0.75 Keys kernel, half-pixel centers, clamped
+  borders, NO antialias) as a trace-time-static weight matrix applied with
+  two small einsums (reference: models/vit.py:153-175) — jax.image.resize
+  uses a different cubic kernel and antialiases on downscale, a ~1e-3
+  divergence on DINO local crops
 - DropPath rates are a static per-layer ramp; the reference's
   ``set_drop_path`` mutation hook (models/vit.py:120-125) maps to rebuilding
   the module with a new rate (models are cheap frozen dataclasses here)
@@ -32,6 +36,34 @@ from .layers import (DenseParams, FeedForward, LayerNormParams, dense_apply,
 Dtype = Any
 
 _LN_EPS = 1e-6  # reference: models/vit.py:13
+
+
+def _torch_bicubic_matrix(side_in: int, side_out: int) -> np.ndarray:
+    """Interpolation matrix W (side_out, side_in) replicating torch
+    ``F.interpolate(mode="bicubic", align_corners=False, antialias=False)``
+    with ``scale_factor=side_out/side_in`` (reference models/vit.py:163-171):
+    source index ``(i + 0.5) * in/out - 0.5``, 4-tap Keys cubic with
+    A = -0.75, border taps clamped (weights accumulate on the edge pixel).
+
+    One static matrix per (in, out) pair — applied as two einsums, the whole
+    interpolation is two tiny MXU matmuls instead of a gather."""
+    A = -0.75
+
+    def k1(x):  # |x| <= 1
+        return ((A + 2) * x - (A + 3)) * x * x + 1
+
+    def k2(x):  # 1 < |x| < 2
+        return ((A * x - 5 * A) * x + 8 * A) * x - 4 * A
+
+    inv_scale = side_in / side_out
+    W = np.zeros((side_out, side_in), np.float64)
+    for i in range(side_out):
+        src = (i + 0.5) * inv_scale - 0.5
+        f = math.floor(src)
+        t = src - f
+        for tap, w in enumerate((k2(t + 1), k1(t), k1(1 - t), k2(2 - t))):
+            W[i, min(max(f - 1 + tap, 0), side_in - 1)] += w
+    return W.astype(np.float32)
 
 
 class MultiHeadedAttention(nn.Module):
@@ -292,7 +324,9 @@ class VisionTransformer(nn.Module):
             )
 
     def interpolate_pos_embedding(self, n_patch: int) -> jax.Array:
-        """Bicubic resize of the grid pos-embed (reference: models/vit.py:153-175)."""
+        """Bicubic resize of the grid pos-embed, bit-matching torch's
+        bicubic (reference: models/vit.py:153-175) via a static weight
+        matrix — see ``_torch_bicubic_matrix``."""
         pos_embed = self.pos_embed
         n_pos = pos_embed.shape[1] - 1
         if n_patch == n_pos:
@@ -302,8 +336,10 @@ class VisionTransformer(nn.Module):
         dim = grid.shape[-1]
         side_in = int(math.sqrt(n_pos))
         side_out = int(math.sqrt(n_patch))
-        grid = grid.reshape(1, side_in, side_in, dim)
-        grid = jax.image.resize(grid, (1, side_out, side_out, dim), method="bicubic")
+        W = jnp.asarray(_torch_bicubic_matrix(side_in, side_out))
+        grid = grid.reshape(side_in, side_in, dim)
+        grid = jnp.einsum("oi,ijd->ojd", W, grid)
+        grid = jnp.einsum("pj,ojd->opd", W, grid)
         grid = grid.reshape(1, side_out * side_out, dim)
         return jnp.concatenate([cls_embed, grid], axis=1)
 

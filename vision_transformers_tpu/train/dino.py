@@ -33,7 +33,7 @@ from . import loss as L
 from .optim import make_optimizer
 from .schedule import cosine_schedule, make_schedule
 
-__all__ = ["train_dino", "DINOTrainState"]
+__all__ = ["train_dino", "make_dino_train_step", "DINOTrainState"]
 
 
 class DINOTrainState(struct.PyTreeNode):
@@ -53,6 +53,109 @@ def _last_layer_mask(params):
         return "last_v" in name or "last_g" in name
 
     return jax.tree_util.tree_map_with_path(check, params)
+
+
+def make_dino_train_step(training, student_model, teacher_model,
+                         student_params, lr_schedule, wd_sched, n_crop):
+    """Build ``(tx, train_step)`` — the full conf-driven DINO optimizer step
+    (reference train_dino.py:110-132, 218-261): AGC on non-head params when
+    ``training.agc > 0``, global-norm clip, the registry optimizer
+    (type/betas/eps), decoupled/L2 weight decay on the wd_skip decay group
+    with the DINO cosine schedule (0.04 → weight_decay_end) evaluated per
+    optimizer step, last-layer freeze, teacher EMA, center EMA.
+
+    Standalone (not a ``train_dino`` closure) so the trajectory-parity test
+    can drive it with controlled crops against the reference torch pipeline.
+    """
+    wd_table = jnp.asarray(wd_sched, jnp.float32)
+    wd_fn = lambda count: wd_table[jnp.minimum(count, wd_table.shape[0] - 1)]
+    tx = make_optimizer(training, student_params, lr_schedule,
+                        weight_decay=wd_fn)
+    last_mask = _last_layer_mask(student_params)
+    grad_accum = training.grad_accumulation
+
+    def one_microbatch(student_params, teacher_params, center, crops_mb,
+                       teacher_temp, key):
+        """Teacher fwd on the 2 global crops, student grads on all crops,
+        center EMA — the reference's per-loader-batch unit
+        (train_dino.py:224-233; loss.py:144-151)."""
+        teacher_out = teacher_model.apply(
+            {"params": teacher_params}, [crops_mb[0], crops_mb[1]],
+            deterministic=True,
+        ).astype(jnp.float32)
+
+        def loss_fn(params):
+            student_out = student_model.apply(
+                {"params": params}, list(crops_mb), deterministic=False,
+                rngs={"dropout": key},
+            )
+            return L.dino_loss(student_out, teacher_out, center,
+                               teacher_temp, n_crop)
+
+        loss, grads = jax.value_and_grad(loss_fn)(student_params)
+        new_center = L.update_center(center, teacher_out, momentum=0.9)
+        return loss, grads, new_center
+
+    def train_step(state, crops, rng, teacher_temp, momentum, freeze):
+        rng = jax.random.fold_in(rng, state.step)
+
+        if grad_accum > 1:
+            # scan over microbatches (reference iterates grad_accum loader
+            # batches per optimizer step, train_dino.py:229-239; the
+            # center advances per microbatch exactly as the reference's
+            # per-batch criterion call does)
+            split = lambda x: x.reshape((grad_accum, -1) + x.shape[1:])
+            crops_mb = tuple(split(c) for c in crops)
+
+            def body(carry, mb):
+                grads_acc, center, i = carry
+                loss, grads, center = one_microbatch(
+                    state.student, state.teacher, center, mb,
+                    teacher_temp, jax.random.fold_in(rng, i))
+                return (jax.tree.map(jnp.add, grads_acc, grads),
+                        center, i + 1), loss
+
+            zero = jax.tree.map(jnp.zeros_like, state.student)
+            (grads, new_center, _), losses = jax.lax.scan(
+                body, (zero, state.center, 0), crops_mb)
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            loss = jnp.mean(losses)
+        else:
+            loss, grads, new_center = one_microbatch(
+                state.student, state.teacher, state.center, tuple(crops),
+                teacher_temp, rng)
+
+        # conf optimizer stack: AGC → clip → optimizer + scheduled wd
+        # (reference train_dino.py:240-253)
+        updates, opt_state = tx.update(grads, state.opt_state, state.student)
+
+        # last-layer freeze: zero the UPDATES during freeze epochs.  The
+        # reference cancels (p.grad = None) AFTER clipping
+        # (train_dino.py:240-250), so the clip norm INCLUDES the last-layer
+        # grads and the frozen params get neither grad step nor weight decay
+        # — both reproduced here.  Residual deviation: torch AdamW also
+        # skips the moment/step update for grad-None params, while these
+        # moments advance during the freeze; inert in the recipe (the freeze
+        # epoch coincides with the ~0-lr warmup start).
+        updates = jax.tree.map(
+            lambda u, is_last: u * jnp.where(is_last & (freeze > 0), 0.0, 1.0),
+            updates, last_mask,
+        )
+        new_student = optax.apply_updates(state.student, updates)
+
+        # teacher EMA (reference :257-261)
+        new_teacher = jax.tree.map(
+            lambda t, s: t * momentum + s.astype(t.dtype) * (1.0 - momentum),
+            state.teacher, new_student,
+        )
+
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return state.replace(
+            step=state.step + 1, student=new_student, teacher=new_teacher,
+            opt_state=opt_state, center=new_center,
+        ), metrics
+
+    return tx, train_step
 
 
 def train_dino(conf: ImageNetConfig) -> dict:
@@ -145,22 +248,14 @@ def train_dino(conf: ImageNetConfig) -> dict:
                 teacher_params = jax.tree.map(jnp.copy, student_params)
             logger.info(f"loaded pretrained weights from {conf.finetune}")
 
-        last_mask = _last_layer_mask(student_params)
-
-        # Full conf-driven gradient pipeline (reference train_dino.py:110-132,
-        # 240-248): AGC on non-head params when training.agc > 0, global-norm
-        # clip, the registry optimizer (type/betas/eps), decoupled/L2 weight
-        # decay on the wd_skip decay group with the DINO cosine schedule
-        # (0.04 → weight_decay_end) evaluated per optimizer step.
-        wd_table = jnp.asarray(wd_sched, jnp.float32)
-        wd_fn = lambda count: wd_table[jnp.minimum(count, wd_table.shape[0] - 1)]
-        tx = make_optimizer(training, student_params, lr_schedule,
-                            weight_decay=wd_fn)
-
         grad_accum = training.grad_accumulation
         if grad_accum > 1 and batch % grad_accum != 0:
             raise ValueError(
                 f"batch_size {batch} not divisible by grad_accumulation {grad_accum}")
+
+        tx, train_step = make_dino_train_step(
+            training, student_model, teacher_model, student_params,
+            lr_schedule, wd_sched, n_crop)
 
         state = DINOTrainState(
             step=jnp.zeros((), jnp.int32),
@@ -170,80 +265,6 @@ def train_dino(conf: ImageNetConfig) -> dict:
             center=jnp.zeros((1, out_dim), jnp.float32),
         )
         state = jax.device_put(state, meshlib.replicated(mesh))
-
-        def one_microbatch(student_params, teacher_params, center, crops_mb,
-                           teacher_temp, key):
-            """Teacher fwd on the 2 global crops, student grads on all crops,
-            center EMA — the reference's per-loader-batch unit
-            (train_dino.py:224-233; loss.py:144-151)."""
-            teacher_out = teacher_model.apply(
-                {"params": teacher_params}, [crops_mb[0], crops_mb[1]],
-                deterministic=True,
-            ).astype(jnp.float32)
-
-            def loss_fn(params):
-                student_out = student_model.apply(
-                    {"params": params}, list(crops_mb), deterministic=False,
-                    rngs={"dropout": key},
-                )
-                return L.dino_loss(student_out, teacher_out, center,
-                                   teacher_temp, n_crop)
-
-            loss, grads = jax.value_and_grad(loss_fn)(student_params)
-            new_center = L.update_center(center, teacher_out, momentum=0.9)
-            return loss, grads, new_center
-
-        def train_step(state, crops, rng, teacher_temp, momentum, freeze):
-            rng = jax.random.fold_in(rng, state.step)
-
-            if grad_accum > 1:
-                # scan over microbatches (reference iterates grad_accum loader
-                # batches per optimizer step, train_dino.py:229-239; the
-                # center advances per microbatch exactly as the reference's
-                # per-batch criterion call does)
-                split = lambda x: x.reshape((grad_accum, -1) + x.shape[1:])
-                crops_mb = tuple(split(c) for c in crops)
-
-                def body(carry, mb):
-                    grads_acc, center, i = carry
-                    loss, grads, center = one_microbatch(
-                        state.student, state.teacher, center, mb,
-                        teacher_temp, jax.random.fold_in(rng, i))
-                    return (jax.tree.map(jnp.add, grads_acc, grads),
-                            center, i + 1), loss
-
-                zero = jax.tree.map(jnp.zeros_like, state.student)
-                (grads, new_center, _), losses = jax.lax.scan(
-                    body, (zero, state.center, 0), crops_mb)
-                grads = jax.tree.map(lambda g: g / grad_accum, grads)
-                loss = jnp.mean(losses)
-            else:
-                loss, grads, new_center = one_microbatch(
-                    state.student, state.teacher, state.center, tuple(crops),
-                    teacher_temp, rng)
-
-            # cancel last-layer grads during freeze epochs (reference :250)
-            grads = jax.tree.map(
-                lambda g, is_last: g * jnp.where(is_last & (freeze > 0), 0.0, 1.0),
-                grads, last_mask,
-            )
-
-            # conf optimizer stack: AGC → clip → optimizer + scheduled wd
-            # (reference train_dino.py:240-253)
-            updates, opt_state = tx.update(grads, state.opt_state, state.student)
-            new_student = optax.apply_updates(state.student, updates)
-
-            # teacher EMA (reference :257-261)
-            new_teacher = jax.tree.map(
-                lambda t, s: t * momentum + s.astype(t.dtype) * (1.0 - momentum),
-                state.teacher, new_student,
-            )
-
-            metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
-            return state.replace(
-                step=state.step + 1, student=new_student, teacher=new_teacher,
-                opt_state=opt_state, center=new_center,
-            ), metrics
 
         step_jit = jax.jit(train_step, donate_argnums=(0,))
         checker = conf.checker.make()

@@ -123,6 +123,12 @@ def wd_skip_fn(skip_type: str) -> Callable[[Tuple[Any, ...], jax.Array], bool]:
                 or param.ndim == 1
             )
         if skip_type == "dino":
+            # torch weight_norm stores the gain as (out, 1) — ndim 2 — so the
+            # reference's ndim==1 rule puts head.last.weight_g in the DECAY
+            # group (factory.py:36-37); our flax gain is (out,) and must not
+            # fall through to the ndim==1 skip.
+            if "last_g" in name:
+                return False
             return "bias" in name or param.ndim == 1
         raise ValueError(f"unknown wd_skip type: {skip_type!r}")
 
