@@ -74,8 +74,18 @@ def _decay_group(name, p):
     return not ("bias" in name or "bn" in name or p.ndim == 1)
 
 
-def _torch_trajectory(tm, batches):
-    """Reference pipeline: MixLoss grads → L2 wd → RMSpropTF → EMA(+BN)."""
+def _torch_trajectory(tm, batches, steps=STEPS, grad_accum=1,
+                      checkpoints=CHECKPOINTS):
+    """Reference pipeline: MixLoss grads → L2 wd → RMSpropTF → EMA(+BN).
+
+    With ``grad_accum > 1`` this replays the reference's loader loop
+    (train.py:264-316): grads accumulate over A microbatches with
+    loss/A, the optimizer steps once at the boundary, and the EMA lerp runs
+    once per LOADER batch — pre-boundary lerps toward the unchanged params
+    (but already-advanced BN buffers), the boundary lerp after the step.
+    The warmup decay counts t in loader batches, monotonic across epochs
+    (the reference's backward-jumping ``step + i`` bookkeeping at
+    train.py:302 is a bug we do not replicate — see engine.make_train_step)."""
     from loss import MixLoss
 
     for m in tm.modules():
@@ -88,15 +98,33 @@ def _torch_trajectory(tm, batches):
     buf = {n: torch.zeros_like(p) for n, p in tm.named_parameters()}
     snapshots = {}
 
-    for t in range(STEPS):
-        batch = batches[t % len(batches)]
+    @torch.no_grad()
+    def ema_update(t):
+        # EMA with warmup decay + BN buffers (train.py:304-316,
+        # train_util.py:70-84)
+        d = min(EMA, (1 + t) / (10 + t))
+        pe = dict(ema_model.named_parameters())
+        for name, p in tm.named_parameters():
+            pe[name].data.mul_(d).add_(p.data, alpha=1 - d)
+        be = dict(ema_model.named_buffers())
+        for name, b in tm.named_buffers():
+            if "running_mean" in name or "running_var" in name:
+                be[name].data.mul_(d).add_(b.data, alpha=1 - d)
+
+    for s in range(steps):
+        batch = batches[s % len(batches)]
         tm.zero_grad(set_to_none=True)
-        x = torch.tensor(batch["image"].transpose(0, 3, 1, 2))
-        loss = criterion(tm(x), torch.tensor(batch["label1"]).long(),
-                         torch.tensor(batch["label2"]).long(),
-                         torch.tensor(batch["ratio"]))
-        loss.backward()
-        lr = _lr_at(t)
+        n = batch["image"].shape[0] // grad_accum
+        for k in range(grad_accum):
+            sl = slice(k * n, (k + 1) * n)
+            x = torch.tensor(batch["image"][sl].transpose(0, 3, 1, 2))
+            loss = criterion(tm(x), torch.tensor(batch["label1"][sl]).long(),
+                             torch.tensor(batch["label2"][sl]).long(),
+                             torch.tensor(batch["ratio"][sl])) / grad_accum
+            loss.backward()
+            if k < grad_accum - 1:
+                ema_update(s * grad_accum + k)
+        lr = _lr_at(s)
         with torch.no_grad():
             for name, p in tm.named_parameters():
                 g = p.grad
@@ -105,18 +133,9 @@ def _torch_trajectory(tm, batches):
                 nu[name].mul_(ALPHA).add_(g * g, alpha=1 - ALPHA)
                 buf[name].mul_(MU).add_(lr * g / torch.sqrt(nu[name] + EPS))
                 p.sub_(buf[name])
-            # EMA with warmup decay + BN buffers (train.py:304-316,
-            # train_util.py:70-84)
-            d = min(EMA, (1 + t) / (10 + t))
-            pe = dict(ema_model.named_parameters())
-            for name, p in tm.named_parameters():
-                pe[name].data.mul_(d).add_(p.data, alpha=1 - d)
-            be = dict(ema_model.named_buffers())
-            for name, b in tm.named_buffers():
-                if "running_mean" in name or "running_var" in name:
-                    be[name].data.mul_(d).add_(b.data, alpha=1 - d)
-        if (t + 1) in CHECKPOINTS:
-            snapshots[t + 1] = (copy.deepcopy(tm.state_dict()),
+        ema_update(s * grad_accum + grad_accum - 1)
+        if (s + 1) in checkpoints:
+            snapshots[s + 1] = (copy.deepcopy(tm.state_dict()),
                                 copy.deepcopy(ema_model.state_dict()))
     return snapshots
 
@@ -152,27 +171,22 @@ def _assert_traj_close(ours, ref, init, tag, name, step):
             f"displacement {disp:.3e} (tol {atol:.1e} + {rel}*disp)")
 
 
-def test_fifty_step_effnetv2_trajectory_matches_reference():
-    from models.efficientnet import efficientnetv2 as torch_effv2
-
-    torch.manual_seed(0)
-    tm = torch_effv2(0.25, 0.25)
-    sd0 = copy.deepcopy(tm.state_dict())
-
-    rng = np.random.default_rng(7)
-    batches = [
+def _make_batches(n=10, seed=7):
+    rng = np.random.default_rng(seed)
+    return [
         {
             "image": rng.normal(size=(B, SIZE, SIZE, 3)).astype(np.float32),
             "label1": rng.integers(0, N_CLASS, B).astype(np.int32),
             "label2": rng.integers(0, N_CLASS, B).astype(np.int32),
             "ratio": rng.uniform(0.2, 0.8, B).astype(np.float32),
         }
-        for _ in range(10)
+        for _ in range(n)
     ]
 
-    snapshots = _torch_trajectory(tm, batches)
 
-    # --- our framework: identical weights, conf-driven optimizer stack ---
+def _run_and_compare(sd0, batches, snapshots, steps, grad_accum, checkpoints):
+    """Drive our conf-driven stack from the same weights/batches and assert
+    every pytree leaf tracks the torch snapshots."""
     cfg = registry.build("model", {"type": "efficientnetv2", "width": 0.25,
                                    "depth": 0.25, "n_class": N_CLASS,
                                    "dropout": 0.0, "drop_path": 0.0})
@@ -189,6 +203,7 @@ def test_fifty_step_effnetv2_trajectory_matches_reference():
                    "warmup": 5, "warmup_multiplier": WARMUP_MULT},
         base_lr=LR, weight_decay=WD, wd_skip="resnet", epoch=1,
         agc=0.0, clip_grad_norm=0.0, ema=EMA, ema_bn=True,
+        grad_accumulation=grad_accum,
     )
     schedule = train_conf.scheduler.make(lr=LR, epoch_len=4, warmup=WARMUP)
     # sanity: the jit-side schedule equals the independent replay
@@ -203,13 +218,13 @@ def test_fifty_step_effnetv2_trajectory_matches_reference():
         ema_batch_stats=jax.tree.map(jnp.copy, stats0),
     )
     step_fn = jax.jit(engine.make_train_step(model, tx, label_smoothing=0.1,
-                                             ema=EMA))
+                                             ema=EMA, grad_accumulation=grad_accum))
     key = jax.random.PRNGKey(0)
 
-    for t in range(STEPS):
+    for t in range(steps):
         jbatch = jax.tree.map(jnp.asarray, batches[t % len(batches)])
         state, metrics = step_fn(state, jbatch, key)
-        if (t + 1) in CHECKPOINTS:
+        if (t + 1) in checkpoints:
             sd_ref, sd_ema = snapshots[t + 1]
             ref_params, ref_stats = effv2_map(sd_ref, blocks)
             ema_params, ema_stats = effv2_map(sd_ema, blocks)
@@ -229,3 +244,35 @@ def test_fifty_step_effnetv2_trajectory_matches_reference():
                         leaf, flat_w[path], flat_i[path], tag,
                         jax.tree_util.keystr(path), t + 1)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fifty_step_effnetv2_trajectory_matches_reference():
+    from models.efficientnet import efficientnetv2 as torch_effv2
+
+    torch.manual_seed(0)
+    tm = torch_effv2(0.25, 0.25)
+    sd0 = copy.deepcopy(tm.state_dict())
+    batches = _make_batches()
+
+    snapshots = _torch_trajectory(tm, batches)
+    _run_and_compare(sd0, batches, snapshots, STEPS, 1, CHECKPOINTS)
+
+
+def test_grad_accumulation_trajectory_matches_reference():
+    """grad_accumulation=2 over 10 optimizer steps (20 loader batches): pins
+    the reference's per-LOADER-batch EMA semantics (train.py:264-316) — A-1
+    lerps toward the unchanged params / advancing BN buffers before the
+    boundary step, then one lerp toward the updated params — which the
+    headline EffNetV2 recipe depends on (grad_accumulation: 8, ema: 0.9999 →
+    effective per-step decay d^8, an 8x shorter EMA horizon than a
+    per-optimizer-step lerp)."""
+    from models.efficientnet import efficientnetv2 as torch_effv2
+
+    torch.manual_seed(2)
+    tm = torch_effv2(0.25, 0.25)
+    sd0 = copy.deepcopy(tm.state_dict())
+    batches = _make_batches(seed=13)
+
+    snapshots = _torch_trajectory(tm, batches, steps=10, grad_accum=2,
+                                  checkpoints=(1, 10))
+    _run_and_compare(sd0, batches, snapshots, 10, 2, (1, 10))

@@ -121,6 +121,20 @@ def make_train_step(
     accumulation the leading dim is split into ``grad_accumulation``
     microbatches scanned inside the step (reference accumulates across
     loader iterations, train.py:285 — same math: mean over the full batch).
+
+    EMA under accumulation mirrors the reference, which lerps the EMA model
+    once per LOADER batch, not per optimizer step (train.py:301-316): with
+    ``A = grad_accumulation``, the first A-1 lerps pull toward the unchanged
+    pre-step params (a closed-form scalar decay product — params are constant
+    across microbatches) while BN buffers lerp against each microbatch's
+    intermediate running stats inside the scan; the final lerp (after the
+    boundary ``optimizer.step()``) pulls toward the updated params and final
+    stats.  The warmup decay ``min(ema, (1+t)/(10+t))`` counts t in loader
+    batches, ``t = step·A + k``, monotonically — the reference's per-epoch
+    ``step += epoch_len`` bookkeeping (train.py:190) makes its own t jump
+    BACKWARD at each epoch boundary whenever A > 1 (``t = step + i`` at
+    train.py:302 with i a raw loader index), a bookkeeping bug we do not
+    replicate (it only perturbs the first warmup epochs).
     """
 
     def microbatch_loss(params, batch_stats, mb, rng):
@@ -135,25 +149,52 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
+        has_ema = state.ema_params is not None
+        pre_ema = state.ema_params
+        pre_ema_bn = state.ema_batch_stats
+        # t in LOADER batches (reference applies EMA once per loader batch,
+        # train.py:301-316); t0 = batches consumed before this step
+        t0 = state.step * grad_accumulation
+
+        def lerp_with(decay):
+            return lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay)
 
         if grad_accumulation > 1:
             split = lambda x: x.reshape((grad_accumulation, -1) + x.shape[1:])
             microbatches = jax.tree.map(split, batch)
+            track_bn = has_ema and state.ema_batch_stats is not None
 
             def scan_body(carry, mb):
-                grads_acc, stats, i = carry
+                grads_acc, stats, ema_bn, i = carry
                 (loss, (new_stats, metrics)), grads = grad_fn(
                     state.params, stats, mb, jax.random.fold_in(rng, i)
                 )
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-                return (grads_acc, new_stats, i + 1), metrics
+                if track_bn:
+                    # pre-boundary microbatches lerp the EMA-BN against the
+                    # INTERMEDIATE running stats (reference train.py:301-316:
+                    # accumulate() runs every loader batch, and BN stats have
+                    # already advanced in that batch's forward); the boundary
+                    # microbatch (i == A-1) defers to the post-step lerp below
+                    d = jnp.where(i < grad_accumulation - 1,
+                                  ema_decay_schedule(ema, t0 + i), 1.0)
+                    ema_bn = jax.tree.map(lerp_with(d), ema_bn, new_stats)
+                return (grads_acc, new_stats, ema_bn, i + 1), metrics
 
             zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-            (grads, new_stats, _), metrics = jax.lax.scan(
-                scan_body, (zero_grads, state.batch_stats, 0), microbatches
+            (grads, new_stats, pre_ema_bn, _), metrics = jax.lax.scan(
+                scan_body,
+                (zero_grads, state.batch_stats, pre_ema_bn, 0),
+                microbatches,
             )
             grads = jax.tree.map(lambda g: g / grad_accumulation, grads)
             metrics = jax.tree.map(jnp.mean, metrics)
+            if has_ema:
+                # params are constant across the A-1 pre-boundary lerps, so
+                # their composition is one lerp with the scalar decay product
+                ks = jnp.arange(grad_accumulation - 1)
+                d_pre = jnp.prod(ema_decay_schedule(ema, t0 + ks))
+                pre_ema = jax.tree.map(lerp_with(d_pre), pre_ema, state.params)
         else:
             (loss, (new_stats, metrics)), grads = grad_fn(
                 state.params, state.batch_stats, batch, rng
@@ -162,18 +203,20 @@ def make_train_step(
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
-        new_ema = state.ema_params
-        new_ema_bn = state.ema_batch_stats
-        if state.ema_params is not None:
-            decay = ema_decay_schedule(ema, state.step)
-            lerp = lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay)
-            new_ema = jax.tree.map(lerp, state.ema_params, new_params)
-            if state.ema_batch_stats is not None:
+        new_ema = pre_ema
+        new_ema_bn = pre_ema_bn
+        if has_ema:
+            # the boundary lerp runs AFTER optimizer.step() in the reference
+            # loop (train.py:296-316): toward the UPDATED params
+            decay = ema_decay_schedule(ema, t0 + grad_accumulation - 1)
+            lerp = lerp_with(decay)
+            new_ema = jax.tree.map(lerp, pre_ema, new_params)
+            if pre_ema_bn is not None:
                 # reference EMA-lerps running_mean/running_var with the same
                 # warmup-aware decay (train_util.py:78-84:
                 # buf1.mul_(decay).add_(buf2, alpha=1-decay)); flax batch_stats
                 # leaves are exactly the mean/var buffers
-                new_ema_bn = jax.tree.map(lerp, state.ema_batch_stats, new_stats)
+                new_ema_bn = jax.tree.map(lerp, pre_ema_bn, new_stats)
 
         new_state = state.replace(
             step=state.step + 1,
