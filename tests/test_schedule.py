@@ -75,3 +75,43 @@ def test_make_schedule_linear_scaling():
 
     sched = S.make_schedule(TC, epoch_len=100)
     np.testing.assert_allclose(float(sched(0)), 2e-3, rtol=1e-6)
+
+
+def test_cycle_matches_reference_phase_scheduler_exactly():
+    """Golden test against the reference's own PhaseScheduler
+    (lr_scheduler.py:55-166 — dead code in the reference but the declared
+    spec for `cycle` semantics): step() pre-increments, each phase emits
+    phase_iter+1 values (the last overshooting the endpoint), and the lr
+    freezes once the phases are exhausted.  The train loop calls
+    scheduler.step() right before optimizer.step() (train.py:296-297), so
+    optimizer step t sees the (t+1)-th returned value == schedule(t)."""
+    import sys
+
+    import torch
+
+    from test_torch_parity import REF  # noqa: F401
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import lr_scheduler as ref_sched
+
+    LR = 0.3
+    for warmup, plateau, n_iter in ((5, 0, 30), (0, 0, 20), (4, 3, 25)):
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=0.0)
+        ref = ref_sched.cycle_scheduler(
+            opt, lr=LR, n_iter=n_iter, initial_multiplier=1e-3,
+            final_multiplier=1e-2, warmup=warmup, plateau=plateau)
+        conf = registry.build(
+            "scheduler", {"type": "cycle", "lr": LR, "warmup": 0,
+                          "plateau": plateau, "initial_multiplier": 1e-3,
+                          "final_multiplier": 1e-2})
+        ours = conf.make(lr=LR, n_iter=n_iter, warmup=warmup)
+        last = None
+        for t in range(n_iter + 4):  # run past exhaustion: lr freezes
+            r = ref.step()
+            if r is None:
+                r = last
+            last = r
+            np.testing.assert_allclose(  # f32 jnp.cos vs the f64 reference
+                float(ours(t)), r, rtol=3e-5,
+                err_msg=f"warmup={warmup} plateau={plateau} t={t}")

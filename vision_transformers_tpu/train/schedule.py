@@ -61,16 +61,29 @@ class CycleScheduler(TypedConfig):
         warm_fn = anneal[self.decay[0]]
         decay_fn = anneal[self.decay[1]]
 
+        # Exact PhaseScheduler semantics (lr_scheduler.py:114-131): step()
+        # increments phase_step BEFORE evaluating, and a phase only advances
+        # once phase_step EXCEEDS phase_iter — so each phase emits
+        # phase_iter + 1 values, the last at proportion (iter+1)/iter
+        # (slightly past the endpoint), and later phases start that many
+        # calls later.  After every phase is exhausted, step() returns
+        # without touching the lr, freezing it at the last emitted value.
+        warm_calls = warmup + 1 if warmup > 0 else 0
+        plat_calls = plateau + 1 if plateau > 0 else 0
+
         def schedule(count):
-            count = jnp.asarray(count, jnp.float32)
-            # PhaseScheduler increments before evaluating (lr_scheduler.py:118-121)
-            in_warm = warm_fn(init_lr, lr, jnp.clip((count + 1) / max(warmup, 1), 0, 1))
-            t = jnp.clip((count + 1 - warmup - plateau) / decay_iter, 0, 1)
+            # count is the optax update index (0-based); the reference calls
+            # scheduler.step() immediately before optimizer.step()
+            # (train.py:296-297), so optimizer step t sees call number t+1
+            n = jnp.asarray(count, jnp.float32) + 1.0
+            in_warm = warm_fn(init_lr, lr, n / max(warmup, 1))
+            t = jnp.clip((n - warm_calls - plat_calls) / decay_iter,
+                         0, (decay_iter + 1) / decay_iter)
             in_decay = decay_fn(lr, final_lr, t)
-            out = jnp.where(count < warmup, in_warm, in_decay)
+            out = jnp.where(n <= warm_calls, in_warm, in_decay)
             if plateau > 0:
                 out = jnp.where(
-                    (count >= warmup) & (count < warmup + plateau), lr, out
+                    (n > warm_calls) & (n <= warm_calls + plat_calls), lr, out
                 )
             return out
 
