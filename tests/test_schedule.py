@@ -115,3 +115,40 @@ def test_cycle_matches_reference_phase_scheduler_exactly():
             np.testing.assert_allclose(  # f32 jnp.cos vs the f64 reference
                 float(ours(t)), r, rtol=3e-5,
                 err_msg=f"warmup={warmup} plateau={plateau} t={t}")
+
+
+def test_step_matches_reference_step_scheduler_exactly():
+    """Golden test against the reference step_scheduler
+    (lr_scheduler.py:169-192) — constant phases between milestones at
+    lr·γ^j, subject to PhaseScheduler's per-phase +1 call."""
+    import sys
+
+    import torch
+
+    from test_torch_parity import REF  # noqa: F401
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import lr_scheduler as ref_sched
+
+    LR = 0.5
+    for warmup, milestones, horizon in ((4, [10, 20], 30), (0, [8], 16),
+                                        (3, [6, 9, 12], 20)):
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=0.0)
+        ref = ref_sched.step_scheduler(opt, lr=LR, milestones=milestones,
+                                       gamma=0.1, warmup=warmup,
+                                       warmup_multiplier=4e-2)
+        conf = registry.build(
+            "scheduler", {"type": "step", "lr": LR, "milestones": milestones,
+                          "gamma": 0.1, "warmup": 0,
+                          "warmup_multiplier": 4e-2})
+        ours = conf.make(lr=LR, n_iter=horizon, warmup=warmup)
+        last = None
+        for t in range(horizon):
+            r = ref.step()
+            if r is None:
+                r = last
+            last = r
+            np.testing.assert_allclose(
+                float(ours(t)), r, rtol=3e-5,
+                err_msg=f"warmup={warmup} ms={milestones} t={t}")

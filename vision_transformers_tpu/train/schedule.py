@@ -20,6 +20,7 @@ import math
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config.registry import TypedConfig, register
 
@@ -122,7 +123,14 @@ class ExpEpochScheduler(TypedConfig):
 
 @register("scheduler", "step")
 class StepScheduler(TypedConfig):
-    """Piecewise-constant decay at milestones (reference: lr_scheduler.py:169-192)."""
+    """Piecewise-constant decay at milestones (reference: lr_scheduler.py:169-192).
+
+    Matches the reference phase construction exactly: a linear warmup phase,
+    then one constant phase per zip pair — lengths ``m0-warmup, m1-m0, ...,
+    1`` at values ``lr·γ^0 .. lr·γ^k`` — each run through PhaseScheduler,
+    whose per-phase +1 call (see CycleScheduler) shifts every later milestone
+    boundary by one more step; after the final 2-call phase the lr freezes at
+    ``lr·γ^k``."""
 
     lr: float
     milestones: list[int]
@@ -131,16 +139,32 @@ class StepScheduler(TypedConfig):
     warmup_multiplier: float = 4e-2
 
     def make(self, lr: float, n_iter: int, warmup: int):
-        milestones = jnp.asarray(self.milestones, jnp.float32)
+        # phase call-boundaries, precomputed statically
+        ms = list(self.milestones)
+        lengths = []
+        if warmup > 0:
+            lengths.append(warmup)
+        for current, forward in zip([warmup] + ms, ms + [ms[-1] + 1]):
+            lengths.append(forward - current)
+        # cumulative last-call number of each phase (+1 call per phase)
+        bounds = np.cumsum([l + 1 for l in lengths]).astype(np.float32)
+        has_warmup = warmup > 0
+        # constant value of each phase (warmup handled separately)
+        n_const = len(lengths) - (1 if has_warmup else 0)
+        values = np.asarray([lr * self.gamma ** j for j in range(n_const)],
+                            np.float32)
+        const_bounds = jnp.asarray(bounds[1:] if has_warmup else bounds)
+        values = jnp.asarray(values)
 
         def schedule(count):
-            count = jnp.asarray(count, jnp.float32)
-            warm = _anneal_linear(
-                lr * self.warmup_multiplier, lr, jnp.clip((count + 1) / max(warmup, 1), 0, 1)
-            )
-            n_passed = jnp.sum(count >= milestones)
-            decayed = lr * self.gamma ** n_passed
-            return jnp.where(count < warmup, warm, decayed)
+            n = jnp.asarray(count, jnp.float32) + 1.0
+            idx = jnp.minimum(jnp.sum(n > const_bounds), n_const - 1)
+            out = values[idx]
+            if has_warmup:
+                warm = _anneal_linear(lr * self.warmup_multiplier, lr,
+                                      n / max(warmup, 1))
+                out = jnp.where(n <= bounds[0], warm, out)
+            return out
 
         return schedule
 
