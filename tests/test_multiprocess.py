@@ -57,6 +57,22 @@ with mesh:
     restored = ckpt.restore_checkpoint(ckpt_dir)
     assert int(restored["step"]) == 2, restored
 
+    # DINO center EMA across processes: the reference's hand-written
+    # dist.all_reduce (loss.py:144-151) is subsumed by the sharded-jit
+    # global mean — each process contributes DISTINCT teacher rows and both
+    # must see the center of the FULL global batch
+    from vision_transformers_tpu.train import loss as L
+    out_dim = 6
+    t_local = (np.arange(pid * lb, (pid + 1) * lb, dtype=np.float32)[:, None]
+               * np.arange(1, out_dim + 1, dtype=np.float32)[None, :])
+    t_global = (np.arange(gb, dtype=np.float32)[:, None]
+                * np.arange(1, out_dim + 1, dtype=np.float32)[None, :])
+    t_sharded = meshlib.shard_batch(mesh, {"t": t_local})["t"]
+    center = jax.jit(lambda c, t: L.update_center(c, t, momentum=0.9))(
+        jnp.zeros((1, out_dim), jnp.float32), t_sharded)
+    expect_center = 0.1 * t_global.mean(0, keepdims=True)
+    np.testing.assert_allclose(np.asarray(center), expect_center, rtol=1e-6)
+
 # preemption flag propagation: only process 1 receives the "signal".
 # (a) blocking epoch-boundary collective: global view True on BOTH
 # (b) lagging in-step poller: False while clean, then True on BOTH exactly

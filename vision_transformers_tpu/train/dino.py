@@ -11,7 +11,15 @@ is computed over the globally-sharded batch, so XLA inserts the collective.
 
 Schedules (reference :132-142): LR from the conf scheduler; weight decay
 cosine 0.04→weight_decay_end; teacher momentum cosine m→1.  All are fed to
-the jitted step as traced scalars so nothing re-compiles per epoch.
+the jitted step as traced scalars so nothing re-compiles per epoch.  The
+wd/momentum tables are built for ``epoch_len·epoch`` OPTIMIZER steps and
+indexed by optimizer step; with ``grad_accumulation > 1`` the reference
+instead indexes them by a per-epoch loader-batch counter rebased by only
+``epoch_len`` each epoch (train_dino.py:186-190, 235-237, 254-256), which
+advances the schedules ``grad_accum``× too fast within an epoch and jumps
+them backward at each boundary — the same bookkeeping bug documented in
+``engine.make_train_step`` (inert in the shipped recipe: grad_accumulation
+is 1); we index monotonically.
 """
 
 from __future__ import annotations
