@@ -1,0 +1,74 @@
+"""Rematerialization (`arch.remat`): per-layer jax.checkpoint.
+
+A TPU-native memory lever with no reference counterpart: block activations
+are recomputed in the backward instead of saved, trading one extra forward
+of FLOPs per layer for O(depth) less HBM — the standard way to raise the
+per-chip batch when activations, not params, bound memory.  remat must be
+EXACTLY transparent: same param tree, same logits, same gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vision_transformers_tpu.config import registry
+
+VIT = {"type": "vit", "image_size": 32, "window_size": 8, "n_class": 10,
+       "depth": 2, "dim": 64, "n_head": 2, "dim_ff": 128}
+SWIN = {"type": "swin_transformer", "image_size": [64, 64], "n_class": 10,
+        "depths": [1, 1, 1, 1], "dims": [8, 16, 32, 64], "dim_head": 4,
+        "n_heads": [2, 4, 8, 16], "dim_ffs": [16, 32, 64, 128],
+        "window_size": 2}
+DINO = {"type": "dino", "image_size": 32, "window_size": 8, "depth": 2,
+        "dim": 64, "n_head": 2, "dim_ff": 128, "dim_head_out": 64,
+        "use_bn": False, "norm_last_layer": False, "depth_head": 2,
+        "dim_head_ff": 48, "dim_head_bottleneck": 16}
+PVT = {"type": "pvt", "image_size": 32, "n_class": 10, "depths": [1, 1, 1, 1],
+       "patch_embed_dims": [16, 32, 64, 128], "n_heads": [1, 2, 4, 8],
+       "dim_ffs": [32, 64, 128, 256], "reductions": [4, 2, 2, 1]}
+TWINS = {"type": "twins_svt", "n_class": 10, "depths": [1, 1, 1, 1],
+         "dims": [16, 32, 64, 128], "dim_head": 8, "n_heads": [2, 4, 8, 16],
+         "dim_ffs": [32, 64, 128, 256], "window_size": 2}
+HALO = {"type": "halo_transformer", "image_size": 64, "n_class": 10,
+        "depths": [1, 1, 1, 1], "dims": [16, 32, 64, 128], "dim_head": 8,
+        "n_heads": [2, 4, 8, 16], "dim_ffs": [32, 64, 128, 256],
+        "window_size": 2, "halo_size": 1}
+
+
+@pytest.mark.parametrize("cfg", [VIT, SWIN, DINO, PVT, TWINS, HALO],
+                         ids=["vit", "swin", "dino", "pvt", "twins", "halo"])
+def test_remat_is_transparent(cfg):
+    rng = jax.random.PRNGKey(0)
+    size = cfg.get("image_size", 64)  # twins takes any input size
+    size = size[0] if isinstance(size, list) else size
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (2, size, size, 3))
+
+    base = registry.build("model", cfg).make()
+    rem = registry.build("model", {**cfg, "remat": True}).make()
+    variables = base.init(rng, x)
+
+    # identical param structure: remat-wrapped layers keep their names
+    chex_paths = lambda m: jax.tree_util.tree_structure(m.init(rng, x)["params"])
+    assert chex_paths(base) == chex_paths(rem)
+
+    def loss(model):
+        def f(params):
+            out = model.apply({"params": params}, x)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    out_b = base.apply(variables, x)
+    out_r = rem.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_r))
+
+    g_b = jax.jit(jax.grad(loss(base)))(variables["params"])
+    g_r = jax.jit(jax.grad(loss(rem)))(variables["params"])
+    for (pb, lb), (pr, lr) in zip(
+        jax.tree_util.tree_leaves_with_path(g_b),
+        jax.tree_util.tree_leaves_with_path(g_r),
+    ):
+        assert pb == pr
+        np.testing.assert_allclose(
+            np.asarray(lb), np.asarray(lr), rtol=1e-6, atol=1e-7,
+            err_msg=jax.tree_util.keystr(pb))

@@ -162,6 +162,7 @@ class PyramidVisionTransformer(nn.Module):
     drop_ff: float = 0.0
     drop_attn: float = 0.0
     drop_path: float = 0.0
+    remat: bool = False  # per-layer jax.checkpoint (memory <-> recompute)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -184,8 +185,10 @@ class PyramidVisionTransformer(nn.Module):
                 cls_token=is_last, dropout=self.drop_ff, dtype=self.dtype,
                 name=f"patch_embedding_{stage}",
             )(out, deterministic)
+            layer_cls = (nn.remat(PVTLayer, static_argnums=(2, 3, 4))
+                         if self.remat else PVTLayer)
             for i in range(self.depths[stage]):
-                out = PVTLayer(
+                out = layer_cls(
                     self.n_heads[stage], self.dim_ffs[stage],
                     reduction=self.reductions[stage],
                     drop_ff=self.drop_ff, drop_attn=self.drop_attn,
@@ -219,6 +222,7 @@ class PVTConfig(TypedConfig):
     drop_ff: float = 0.0
     drop_attn: float = 0.0
     drop_path: float = 0.1
+    remat: bool = False  # optional extension over the reference conf schema
 
     def make(self, dtype=jnp.float32, drop_path: Optional[float] = None,
              dropout: Optional[float] = None) -> PyramidVisionTransformer:
@@ -233,5 +237,6 @@ class PVTConfig(TypedConfig):
             drop_ff=self.drop_ff,
             drop_attn=self.drop_attn,
             drop_path=self.drop_path if drop_path is None else drop_path,
+            remat=self.remat,
             dtype=dtype,
         )

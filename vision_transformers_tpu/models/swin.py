@@ -393,6 +393,7 @@ class SwinTransformer(nn.Module):
     drop_ff: float = 0.0
     drop_attn: float = 0.0
     drop_path: float = 0.0
+    remat: bool = False  # per-layer jax.checkpoint (memory <-> recompute)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -401,6 +402,8 @@ class SwinTransformer(nn.Module):
         n_layers = sum(self.depths)
         # drop-path ramp i/n_layers over transformer layers (reference :286-321)
         rates = [self.drop_path * i / n_layers for i in range(n_layers)]
+        layer_cls = (nn.remat(SwinLayer, static_argnums=(2,))
+                     if self.remat else SwinLayer)
 
         out = PatchEmbedding(self.dims[0], 4, dtype=self.dtype, name="patch_embedding")(x)
 
@@ -412,7 +415,7 @@ class SwinTransformer(nn.Module):
                                  name=f"merge{stage + 1}")(out)
                 size = (size[0] // 2, size[1] // 2)
             for i in range(self.depths[stage]):
-                out = SwinLayer(
+                out = layer_cls(
                     self.n_heads[stage], self.dim_head, self.dim_ffs[stage],
                     size, self.window_size,
                     shift=(i % 2 == 0),  # reference quirk :362
@@ -446,6 +449,7 @@ class SwinConfig(TypedConfig):
     drop_ff: float = 0.0
     drop_attn: float = 0.0
     drop_path: float = 0.0
+    remat: bool = False  # optional extension over the reference conf schema
 
     def make(self, dtype=jnp.float32, drop_path: Optional[float] = None,
              dropout: Optional[float] = None) -> SwinTransformer:
@@ -461,5 +465,6 @@ class SwinConfig(TypedConfig):
             drop_ff=self.drop_ff,
             drop_attn=self.drop_attn,
             drop_path=self.drop_path if drop_path is None else drop_path,
+            remat=self.remat,
             dtype=dtype,
         )

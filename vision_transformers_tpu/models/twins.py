@@ -247,6 +247,7 @@ class TwinsSVT(nn.Module):
     drop_ff: float = 0.0
     drop_attn: float = 0.0
     drop_path: float = 0.0
+    remat: bool = False  # per-layer jax.checkpoint (memory <-> recompute)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -260,8 +261,10 @@ class TwinsSVT(nn.Module):
         for stage in range(4):
             out = PatchEmbedding(self.dims[stage], reductions[stage], dtype=self.dtype,
                                  name=f"embed{stage + 1}")(out)
+            layer_cls = (nn.remat(TwinsLayer, static_argnums=(2,))
+                         if self.remat else TwinsLayer)
             for i in range(self.depths[stage]):
-                out = TwinsLayer(
+                out = layer_cls(
                     self.n_heads[stage], self.dim_head, self.dim_ffs[stage],
                     self.window_size, drop_ff=self.drop_ff, drop_attn=self.drop_attn,
                     drop_path=rates[i_layer], dtype=self.dtype,
@@ -295,6 +298,7 @@ class TwinsConfig(TypedConfig):
     drop_ff: float = 0.0
     drop_attn: float = 0.0
     drop_path: float = 0.0
+    remat: bool = False  # optional extension over the reference conf schema
 
     def make(self, dtype=jnp.float32, drop_path: Optional[float] = None,
              dropout: Optional[float] = None) -> TwinsSVT:
@@ -309,5 +313,6 @@ class TwinsConfig(TypedConfig):
             drop_ff=self.drop_ff,
             drop_attn=self.drop_attn,
             drop_path=self.drop_path if drop_path is None else drop_path,
+            remat=self.remat,
             dtype=dtype,
         )

@@ -296,6 +296,7 @@ class VisionTransformer(nn.Module):
     drop_ff: float = 0.0
     drop_path: float = 0.0
     n_class: Optional[int] = None  # None: return features (DINO backbone)
+    remat: bool = False  # per-layer jax.checkpoint (memory <-> recompute)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -309,8 +310,14 @@ class VisionTransformer(nn.Module):
             "pos_embed", nn.initializers.normal(0.02), (1, n_patch + 1, self.dim), jnp.float32
         )
         rates = [self.drop_path * i / max(self.depth - 1, 1) for i in range(self.depth)]
+        # remat: per-layer jax.checkpoint — activations of each block are
+        # recomputed in the backward instead of saved, trading ~1 extra
+        # forward of FLOPs for O(depth) less HBM (larger per-chip batch).
+        # static args: deterministic (2), pack (4); param structure unchanged
+        layer_cls = (nn.remat(TransformerLayer, static_argnums=(2, 4))
+                     if self.remat else TransformerLayer)
         self.layers = [
-            TransformerLayer(
+            layer_cls(
                 self.n_head, self.dim_ff, self.dropout, self.drop_attn,
                 self.drop_ff, rates[i], dtype=self.dtype, name=f"layers_{i}",
             )
@@ -381,7 +388,7 @@ class VisionTransformer(nn.Module):
             extra = jnp.asarray(np.where(eye > 0, 0.0, -1e9), jnp.float32)
 
         for layer in self.layers:
-            out = layer(out, deterministic, extra=extra, pack=pack)
+            out = layer(out, deterministic, extra, pack)
         if pack > 1:
             out = out.reshape(b, seq, self.dim)
         out = self.norm(out)
@@ -504,6 +511,7 @@ class ViTConfig(TypedConfig):
     drop_attn: float = 0.0
     drop_ff: float = 0.0
     drop_path: float = 0.0
+    remat: bool = False  # optional extension over the reference conf schema
 
     def make(self, dtype=jnp.float32, drop_path: Optional[float] = None,
              dropout: Optional[float] = None) -> VisionTransformer:
@@ -518,6 +526,7 @@ class ViTConfig(TypedConfig):
             drop_attn=self.drop_attn,
             drop_ff=self.drop_ff,
             drop_path=self.drop_path if drop_path is None else drop_path,
+            remat=self.remat,
             n_class=self.n_class,
             dtype=dtype,
         )
@@ -543,6 +552,7 @@ class DINOConfig(TypedConfig):
     depth_head: int = 3
     dim_head_ff: int = 2048
     dim_head_bottleneck: int = 256
+    remat: bool = False  # optional extension over the reference conf schema
 
     def make(self, dtype=jnp.float32, drop_path: Optional[float] = None) -> DINOModel:
         backbone = VisionTransformer(
@@ -556,6 +566,7 @@ class DINOConfig(TypedConfig):
             drop_attn=self.drop_attn,
             drop_ff=self.drop_ff,
             drop_path=self.drop_path if drop_path is None else drop_path,
+            remat=self.remat,
             n_class=None,
             dtype=dtype,
         )
