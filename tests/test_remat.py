@@ -72,3 +72,42 @@ def test_remat_is_transparent(cfg):
         np.testing.assert_allclose(
             np.asarray(lb), np.asarray(lr), rtol=1e-6, atol=1e-7,
             err_msg=jax.tree_util.keystr(pb))
+
+
+def test_remat_transparent_with_batchnorm():
+    """EfficientNet(V2) remat: flax's lifted checkpoint must also replay the
+    BN batch-stat updates identically — logits, grads, AND new running stats
+    match the un-remat'd model."""
+    cfg = {"type": "efficientnetv2", "width": 0.25, "depth": 0.25,
+           "n_class": 10, "dropout": 0.0, "drop_path": 0.0}
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (2, 32, 32, 3))
+
+    base = registry.build("model", cfg).make()
+    rem = registry.build("model", {**cfg, "remat": True}).make()
+    variables = base.init(rng, x)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def run(model):
+        def f(p):
+            out, upd = model.apply(
+                {"params": p, "batch_stats": stats}, x,
+                deterministic=False, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(rng, 2)})
+            return jnp.sum(out.astype(jnp.float32) ** 2), upd["batch_stats"]
+        (loss, new_stats), grads = jax.jit(
+            jax.value_and_grad(f, has_aux=True))(params)
+        return loss, new_stats, grads
+
+    loss_b, stats_b, g_b = run(base)
+    loss_r, stats_r, g_r = run(rem)
+    np.testing.assert_allclose(float(loss_b), float(loss_r), rtol=1e-6)
+    for tree_b, tree_r, tag in ((stats_b, stats_r, "bn"), (g_b, g_r, "grad")):
+        for (pb, lb), (pr, lr) in zip(
+            jax.tree_util.tree_leaves_with_path(tree_b),
+            jax.tree_util.tree_leaves_with_path(tree_r),
+        ):
+            assert pb == pr
+            np.testing.assert_allclose(
+                np.asarray(lb), np.asarray(lr), rtol=1e-6, atol=1e-7,
+                err_msg=f"{tag} {jax.tree_util.keystr(pb)}")

@@ -139,6 +139,7 @@ class EfficientNet(nn.Module):
     head_channel: int = 1280
     dropout: float = 0.0
     drop_path: float = 0.0
+    remat: bool = False  # per-block jax.checkpoint (memory <-> recompute)
     dtype: Dtype = jnp.float32
 
     def expand_blocks(self) -> list[dict]:
@@ -172,9 +173,14 @@ class EfficientNet(nn.Module):
 
         blocks = self.expand_blocks()
         n_blocks = len(blocks)
+        # remat replays each block's forward in the backward; BN stat
+        # updates are captured once by flax's lifted checkpoint, so stats,
+        # logits, and grads are unchanged (tests/test_remat.py)
+        block_cls = (nn.remat(MBConvBlock, static_argnums=(2,))
+                     if self.remat else MBConvBlock)
         for i, cfg in enumerate(blocks):
             # drop-path ramp i/n_blocks (reference set_dropout :192-199)
-            out = MBConvBlock(
+            out = block_cls(
                 **cfg, drop_path=self.drop_path * i / n_blocks,
                 dtype=self.dtype, name=f"block_{i}",
             )(out, deterministic)
@@ -254,6 +260,7 @@ class EfficientNetConfig(TypedConfig):
     dropout: Optional[float] = None
     drop_path: float = 0.0
     preset: Optional[str] = None
+    remat: bool = False  # optional extension over the reference conf schema
 
     def _resolve(self):
         if self.preset is not None:
@@ -285,6 +292,7 @@ class EfficientNetConfig(TypedConfig):
             width=width, divisor=8, depth=depth,
             dropout=drop if dropout is None else dropout,
             drop_path=self.drop_path if drop_path is None else drop_path,
+            remat=self.remat,
             dtype=dtype,
         )
 
@@ -298,6 +306,7 @@ class EfficientNetV2Config(TypedConfig):
     n_class: int = 1000
     dropout: float = 0.0
     drop_path: float = 0.0
+    remat: bool = False  # optional extension over the reference conf schema
 
     def make(self, dtype=jnp.float32, drop_path: Optional[float] = None,
              dropout: Optional[float] = None) -> EfficientNet:
@@ -308,5 +317,6 @@ class EfficientNetV2Config(TypedConfig):
             stem_channel=24, head_channel=1792,
             dropout=self.dropout if dropout is None else dropout,
             drop_path=self.drop_path if drop_path is None else drop_path,
+            remat=self.remat,
             dtype=dtype,
         )
