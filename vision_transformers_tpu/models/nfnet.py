@@ -111,6 +111,7 @@ class NFNet(nn.Module):
     stochastic_depth: float = 0.1
     dropout: float = 0.0
     activation: str = "silu"
+    remat: bool = False  # per-block jax.checkpoint (memory <-> recompute)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -132,10 +133,12 @@ class NFNet(nn.Module):
         for stage, (channel, depth, group, stride) in enumerate(
             zip(self.channels, self.depths, self.groups, strides)
         ):
+            block_cls = (nn.remat(NFBlock, static_argnums=(2,))
+                         if self.remat else NFBlock)
             for i in range(depth):
                 beta = 1.0 / expected_std
                 out_ch = int(channel * self.width)
-                out = NFBlock(
+                out = block_cls(
                     in_channel=ch, out_channel=out_ch,
                     activation=self.activation, ratio=0.5, se_ratio=0.5,
                     group_size=group, stride=stride if i == 0 else 1,
@@ -173,6 +176,7 @@ class NFNetConfig(TypedConfig):
     stochastic_depth: float = 0.1
     dropout: float = 0.2
     activation: str = "silu"
+    remat: bool = False  # optional extension over the reference conf schema
 
     def make(self, dtype=jnp.float32, drop_path: Optional[float] = None,
              dropout: Optional[float] = None) -> NFNet:
@@ -186,5 +190,6 @@ class NFNetConfig(TypedConfig):
             stochastic_depth=(self.stochastic_depth if drop_path is None else drop_path),
             dropout=self.dropout if dropout is None else dropout,
             activation=self.activation,
+            remat=self.remat,
             dtype=dtype,
         )
