@@ -89,3 +89,30 @@ def test_graft_dryrun_8dev():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_tp_sharded_checkpoint_roundtrip(tiny_model, tmp_path):
+    """Save a TP-sharded param tree and restore it with the SAME shardings:
+    orbax writes per-shard and the restore target's NamedSharding lays the
+    arrays back out across the (data=4, model=2) mesh — the elastic path a
+    tensor-parallel run depends on."""
+    from vision_transformers_tpu.train import checkpoint as ckpt
+
+    mesh = meshlib.make_mesh(model_parallel=2)
+    with mesh:
+        params = tiny_model.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 16, 16, 3)))["params"]
+        sharded = tp.shard_params(params, mesh)
+        path = str(tmp_path / "tp-ckpt")
+        ckpt.save_checkpoint(path, {"step": 7, "params": sharded}, block=True)
+
+        restored = ckpt.restore_checkpoint(
+            path, target={"step": 7, "params": sharded})
+        assert int(restored["step"]) == 7
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(sharded),
+            jax.tree_util.tree_leaves_with_path(restored["params"]),
+        ):
+            assert pa == pb
+            assert b.sharding == a.sharding, jax.tree_util.keystr(pa)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
