@@ -278,14 +278,15 @@ def train_dino(conf: ImageNetConfig) -> dict:
         checker = conf.checker.make()
 
         from . import checkpoint as ckpt
-        from .trainer import PREEMPT_CHECK_STEPS, _resolve_resume
+        from .trainer import (PREEMPT_CHECK_STEPS, _resolve_resume,
+                              _restore_resume)
 
         start_epoch = 0
+        resume_skip = 0
         resume_path = _resolve_resume(conf.resume, checker, logger)
         if resume_path:
-            restored = ckpt.restore_checkpoint(resume_path, {"state": state, "epoch": 0})
-            state, start_epoch = restored["state"], int(restored["epoch"]) + 1
-            logger.info(f"resumed from {resume_path} at epoch {start_epoch}")
+            state, start_epoch, resume_skip = _restore_resume(
+                resume_path, state, logger)
 
         final_metrics: dict = {}
         poll_preempt = preempt.make_global_poller()
@@ -300,8 +301,15 @@ def train_dino(conf: ImageNetConfig) -> dict:
             # which measured as the DINO throughput ceiling (round-2 verdict
             # weakness 3); one fetch per epoch now, plus a LAGGING fetch
             # every log_freq steps (reference train_dino.py:263-276)
-            loss_sum, n_steps, prev_metrics = None, 0, None
+            # exact mid-epoch resume (see trainer._restore_resume): the
+            # first ``skip`` batches were already consumed by the restored
+            # state — skip them; ``it`` tracks state.step and must only
+            # advance on executed steps
+            skip = resume_skip if epoch == start_epoch else 0
+            loss_sum, n_steps, prev_metrics = None, skip, None
             for i, host_batch in enumerate(host_iter(epoch)):
+                if i < skip:
+                    continue
                 it += 1
                 key = jax.random.fold_in(jax.random.fold_in(aug_key, epoch), i)
                 crops = augment(key, jnp.asarray(host_batch["globals"]),
@@ -332,7 +340,8 @@ def train_dino(conf: ImageNetConfig) -> dict:
                     # stores epoch-1 so resume re-runs the interrupted epoch;
                     # a failed save must not exit 0 claiming success
                     checker.checkpoint(
-                        {"state": jax.device_get(state), "epoch": epoch - 1},
+                        {"state": jax.device_get(state), "epoch": epoch - 1,
+                         "step_in_epoch": n_steps},
                         f"preempt-{epoch + 1:03d}", raise_on_error=True,
                     )
                     ckpt.wait_for_checkpoints()
@@ -342,15 +351,17 @@ def train_dino(conf: ImageNetConfig) -> dict:
 
             final_metrics = {
                 "epoch": epoch,
-                "loss": float(loss_sum) / n_steps if n_steps else float("nan"),
+                "loss": (float(loss_sum) / (n_steps - skip)
+                         if n_steps > skip else float("nan")),
                 "lr": float(lr_schedule(jnp.maximum(state.step - 1, 0))),
                 "weight_decay": wd_sched[min(int(state.step) - 1, n_iter - 1)],
-                "images_per_sec": batch * epoch_len / dt,
+                "images_per_sec": batch * (n_steps - skip) / dt,
             }
             if is_primary():
                 checker.log(step=epoch, **final_metrics)
             checker.checkpoint(
-                {"state": jax.device_get(state), "epoch": epoch},
+                {"state": jax.device_get(state), "epoch": epoch,
+                 "step_in_epoch": 0},
                 f"epoch-{epoch + 1:03d}",
             )
 

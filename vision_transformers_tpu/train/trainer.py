@@ -201,6 +201,35 @@ def _resolve_resume(resume: Optional[str], checker, logger) -> Optional[str]:
     return None
 
 
+def _restore_resume(resume_path: str, state, logger):
+    """Restore ``{state, epoch[, step_in_epoch]}`` → (state, start_epoch,
+    skip_steps).
+
+    ``step_in_epoch`` (written by mid-epoch preemption saves) is how many
+    leading batches of the interrupted epoch the restored state has already
+    consumed.  The loaders are deterministic per (seed, epoch), so skipping
+    exactly those batches makes the resume EXACT — no batch is trained
+    twice, and the resumed run's final state matches an uninterrupted run's
+    bit-for-bit (pinned by tests/test_preempt.py).  Checkpoints written
+    before this key existed restore with skip 0 (the old replay-the-epoch
+    behavior)."""
+    from . import checkpoint as ckpt
+
+    try:
+        restored = ckpt.restore_checkpoint(
+            resume_path, {"state": state, "epoch": 0, "step_in_epoch": 0})
+        skip = int(restored["step_in_epoch"])
+    except Exception:
+        restored = ckpt.restore_checkpoint(resume_path,
+                                           {"state": state, "epoch": 0})
+        skip = 0
+    start_epoch = int(restored["epoch"]) + 1
+    logger.info(
+        f"resumed from {resume_path} at epoch {start_epoch}"
+        + (f" step {skip} (exact mid-epoch resume)" if skip else ""))
+    return restored["state"], start_epoch, skip
+
+
 # poll cadence for cooperative preemption (utils/preempt.py).  A collective
 # in multi-process runs — every process calls it at the same global step.
 # Epoch boundaries also poll, so short epochs stay responsive.
@@ -287,11 +316,11 @@ def train_classification(conf: ImageNetConfig) -> dict:
         from . import checkpoint as ckpt
 
         start_epoch = 0
+        resume_skip = 0
         resume_path = _resolve_resume(conf.resume, checker, logger)
         if resume_path:
-            restored = ckpt.restore_checkpoint(resume_path, {"state": state, "epoch": 0})
-            state, start_epoch = restored["state"], int(restored["epoch"]) + 1
-            logger.info(f"resumed from {resume_path} at epoch {start_epoch}")
+            state, start_epoch, resume_skip = _restore_resume(
+                resume_path, state, logger)
 
         current_stage = 0 if prog.step <= 0 else min(
             start_epoch // prog.step, max(training.epoch // prog.step, 1) - 1)
@@ -309,7 +338,13 @@ def train_classification(conf: ImageNetConfig) -> dict:
             # ---- train ----
             # per-step wall/data meters (reference train.py:251-252,264,271)
             t0 = time.perf_counter()
-            data_m, img_count, n_steps = Meter(), 0, 0
+            # exact mid-epoch resume: the restored state already consumed the
+            # first ``skip`` batches of this epoch — skip them (the loader
+            # order is deterministic per (seed, epoch)) instead of training
+            # them twice; n_steps stays the ABSOLUTE position in the epoch so
+            # log cadence, preempt polls, and a second preemption stay exact
+            skip = resume_skip if epoch == start_epoch else 0
+            data_m, img_count, n_steps = Meter(), 0, skip
             # epoch loss accumulates ON-DEVICE (lazy adds, no per-step host
             # sync); one float() fetch at epoch end gives the true epoch mean
             # the reference Meter reports (reference train.py:277-281)
@@ -325,7 +360,10 @@ def train_classification(conf: ImageNetConfig) -> dict:
             log_freq = conf.log_freq if is_primary() else 0
             prev_metrics = None
             t_fetch = time.perf_counter()
-            for batch_data in train_iter(epoch):
+            for i_batch, batch_data in enumerate(train_iter(epoch)):
+                if i_batch < skip:
+                    t_fetch = time.perf_counter()
+                    continue
                 data_m.update(time.perf_counter() - t_fetch)
                 batch_data = meshlib.shard_batch(mesh, batch_data)
                 if log_freq and n_steps % log_freq == 0 and prev_metrics is not None:
@@ -359,7 +397,8 @@ def train_classification(conf: ImageNetConfig) -> dict:
                     # raise_on_error propagates (disk-full etc. crashes the
                     # handoff visibly instead of silently losing the state)
                     checker.checkpoint(
-                        {"state": jax.device_get(state), "epoch": epoch - 1},
+                        {"state": jax.device_get(state), "epoch": epoch - 1,
+                         "step_in_epoch": n_steps},
                         f"preempt-{epoch + 1:03d}", raise_on_error=True,
                     )
                     ckpt.wait_for_checkpoints()
@@ -370,7 +409,8 @@ def train_classification(conf: ImageNetConfig) -> dict:
                 jax.profiler.stop_trace()
             # guard: a dataset shard smaller than the batch with drop_last
             # yields an empty epoch — report NaN rather than crash
-            train_loss = float(loss_sum) / n_steps if n_steps else float("nan")
+            executed = n_steps - skip
+            train_loss = float(loss_sum) / executed if executed else float("nan")
             dt = time.perf_counter() - t0
             lr = float(schedule(jnp.maximum(state.step - 1, 0)))
 
@@ -402,7 +442,8 @@ def train_classification(conf: ImageNetConfig) -> dict:
             epoch_ckpt_ok = True
             try:
                 checker.checkpoint(
-                    {"state": jax.device_get(state), "epoch": epoch},
+                    {"state": jax.device_get(state), "epoch": epoch,
+                     "step_in_epoch": 0},
                     f"epoch-{epoch + 1:03d}",
                 )
             except KeyboardInterrupt:
@@ -419,7 +460,8 @@ def train_classification(conf: ImageNetConfig) -> dict:
                 logger.info(f"preemption requested at epoch {epoch} boundary")
                 if not epoch_ckpt_ok:
                     checker.checkpoint(
-                        {"state": jax.device_get(state), "epoch": epoch},
+                        {"state": jax.device_get(state), "epoch": epoch,
+                         "step_in_epoch": 0},
                         f"epoch-{epoch + 1:03d}", raise_on_error=True,
                     )
                 ckpt.wait_for_checkpoints()
