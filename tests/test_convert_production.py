@@ -48,6 +48,7 @@ def _torch_model(arch):
 
         kw = arch.dict()
         kw.pop("type")
+        kw.pop("remat", None)  # framework-only extension, unknown to torch
         return dino(**kw)
     if t == "swin_transformer":
         from models.swin_transformer import SwinTransformer

@@ -123,3 +123,40 @@ def test_remat_transparent_with_batchnorm():
             np.testing.assert_allclose(
                 np.asarray(lb), np.asarray(lr), rtol=1e-6, atol=1e-7,
                 err_msg=f"{tag} {jax.tree_util.keystr(pb)}")
+
+
+@pytest.mark.parametrize("extra", [
+    {**VIT, "dropout": 0.1, "drop_path": 0.2},
+    {**SWIN, "drop_ff": 0.1, "drop_path": 0.2},
+], ids=["vit", "swin"])
+def test_remat_transparent_in_training_mode(extra):
+    """The configuration arch.remat exists for — deterministic=False with
+    live dropout/drop-path — must also be transparent: the rng draws inside
+    remat'ed layers replay identically through jax.checkpoint."""
+    rng = jax.random.PRNGKey(3)
+    size = extra.get("image_size", 64)
+    size = size[0] if isinstance(size, list) else size
+    x = jax.random.normal(jax.random.fold_in(rng, 1), (2, size, size, 3))
+
+    base = registry.build("model", extra).make()
+    rem = registry.build("model", {**extra, "remat": True}).make()
+    variables = base.init(rng, x)
+
+    def loss(model):
+        def f(params):
+            out = model.apply(
+                {"params": params}, x, deterministic=False,
+                rngs={"dropout": jax.random.fold_in(rng, 2)})
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    g_b = jax.jit(jax.grad(loss(base)))(variables["params"])
+    g_r = jax.jit(jax.grad(loss(rem)))(variables["params"])
+    for (pb, lb), (pr, lr) in zip(
+        jax.tree_util.tree_leaves_with_path(g_b),
+        jax.tree_util.tree_leaves_with_path(g_r),
+    ):
+        assert pb == pr
+        np.testing.assert_allclose(
+            np.asarray(lb), np.asarray(lr), rtol=1e-5, atol=5e-7,
+            err_msg=jax.tree_util.keystr(pb))

@@ -320,7 +320,7 @@ def train_dino(conf: ImageNetConfig) -> dict:
                         f"epoch {epoch}; {n_steps}/{epoch_len}; "
                         f"loss: {float(prev_metrics['loss']):.5f}; "
                         f"lr: {float(lr_schedule(jnp.maximum(state.step - 1, 0))):.6f}; "
-                        f"img/s: {batch * n_steps / max(time.perf_counter() - t0, 1e-9):.1f}"
+                        f"img/s: {batch * (n_steps - skip) / max(time.perf_counter() - t0, 1e-9):.1f}"
                     )
                 state, metrics = step_jit(
                     state, crops, rng,

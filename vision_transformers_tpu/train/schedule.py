@@ -141,6 +141,17 @@ class StepScheduler(TypedConfig):
     def make(self, lr: float, n_iter: int, warmup: int):
         # phase call-boundaries, precomputed statically
         ms = list(self.milestones)
+        if not ms:  # degenerate conf: constant lr after the warmup
+            ms = [max(n_iter, warmup + 1)]
+        if any(b <= a for a, b in zip([warmup] + ms, ms)):
+            # the reference's phase construction silently produces
+            # negative-length phases here (lr_scheduler.py:180-189) — a
+            # loud error beats a silently-garbage schedule.  Note warmup is
+            # in STEPS (make_schedule already scaled epochs by epoch_len);
+            # milestones must be in steps too, and increasing.
+            raise ValueError(
+                f"step scheduler milestones {ms} must be strictly "
+                f"increasing and all beyond the warmup ({warmup} steps)")
         lengths = []
         if warmup > 0:
             lengths.append(warmup)

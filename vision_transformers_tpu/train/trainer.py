@@ -94,11 +94,12 @@ def _make_stage_loaders(conf: ImageNetConfig, settings,
         train_ds = SyntheticDataset(n_train, settings.train_size, n_class,
                                     seed=conf.seed, normalized=True)
         epoch_len = max(n_train // batch, 1)
-        return (
-            lambda epoch: train_ds.batches(batch, seed=epoch),
-            valid_iter,
-            epoch_len,
-        )
+        def synthetic_iter(epoch: int, skip: int = 0):
+            for i, b in enumerate(train_ds.batches(batch, seed=epoch)):
+                if i >= skip:
+                    yield b
+
+        return synthetic_iter, valid_iter, epoch_len
 
     if backend == "records":
         from ..data.pipeline import (HostLoader, make_device_augment,
@@ -163,8 +164,13 @@ def _make_stage_loaders(conf: ImageNetConfig, settings,
             )
         aug_key = jax.random.PRNGKey(conf.seed + 17)
 
-        def train_iter(epoch: int):
+        def train_iter(epoch: int, skip: int = 0):
+            # exact mid-epoch resume: consumed batches are skipped BEFORE
+            # augmentation/transfer — only the host decode of the skipped
+            # prefix is paid (the loader has no random-access fast-forward)
             for i, hb in enumerate(train_loader.epoch(epoch)):
+                if i < skip:
+                    continue
                 key = jax.random.fold_in(jax.random.fold_in(aug_key, epoch), i)
                 if host_backend:
                     labels = jnp.asarray(hb["label"])
@@ -219,7 +225,17 @@ def _restore_resume(resume_path: str, state, logger):
         restored = ckpt.restore_checkpoint(
             resume_path, {"state": state, "epoch": 0, "step_in_epoch": 0})
         skip = int(restored["step_in_epoch"])
-    except Exception:
+    except ValueError as e:
+        # ONLY the precise structure mismatch of a pre-step_in_epoch
+        # checkpoint falls back — anything else (transient FS failure, wrong
+        # arch) must propagate: a silent skip=0 would retrain consumed
+        # batches and, in multi-process runs, desynchronize the preempt-poll
+        # collective on whichever process fell back
+        if "step_in_epoch" not in str(e):
+            raise
+        logger.info(
+            "checkpoint predates step_in_epoch — resuming at the epoch "
+            "start (the interrupted epoch replays)")
         restored = ckpt.restore_checkpoint(resume_path,
                                            {"state": state, "epoch": 0})
         skip = 0
@@ -360,10 +376,7 @@ def train_classification(conf: ImageNetConfig) -> dict:
             log_freq = conf.log_freq if is_primary() else 0
             prev_metrics = None
             t_fetch = time.perf_counter()
-            for i_batch, batch_data in enumerate(train_iter(epoch)):
-                if i_batch < skip:
-                    t_fetch = time.perf_counter()
-                    continue
+            for batch_data in train_iter(epoch, skip):
                 data_m.update(time.perf_counter() - t_fetch)
                 batch_data = meshlib.shard_batch(mesh, batch_data)
                 if log_freq and n_steps % log_freq == 0 and prev_metrics is not None:
