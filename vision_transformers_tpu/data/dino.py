@@ -80,7 +80,10 @@ class DINOHostLoader:
         # global optimizer steps per epoch, identical on every process
         return (len(self.dataset) // self.shard_count) // self.local_batch
 
-    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+    def epoch(self, epoch: int = 0, skip: int = 0) -> Iterator[dict]:
+        """``skip``: fast-forward past the first ``skip`` batches without
+        decoding them (exact mid-epoch resume; per-sample rngs are keyed by
+        absolute dataset index)."""
         indices = self._epoch_indices(epoch)
         n_batches = len(self)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -108,7 +111,7 @@ class DINOHostLoader:
 
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for b in range(n_batches):
+                    for b in range(skip, n_batches):
                         if stop.is_set():
                             break
                         sel = indices[b * self.local_batch:(b + 1) * self.local_batch]

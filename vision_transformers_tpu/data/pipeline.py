@@ -219,7 +219,11 @@ class HostLoader:
             return n // self.local_batch
         return (n + self.local_batch - 1) // self.local_batch
 
-    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+    def epoch(self, epoch: int = 0, skip: int = 0) -> Iterator[dict]:
+        """``skip``: fast-forward past the first ``skip`` batches WITHOUT
+        decoding them (exact mid-epoch resume) — per-sample rngs are keyed
+        by absolute dataset index, so the remaining batches are identical
+        to an unskipped epoch's."""
         indices = self._epoch_indices(epoch)
         n_batches = len(self)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -252,7 +256,7 @@ class HostLoader:
 
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for b in range(n_batches):
+                    for b in range(skip, n_batches):
                         if stop.is_set():
                             break
                         sel = indices[b * self.local_batch:(b + 1) * self.local_batch]

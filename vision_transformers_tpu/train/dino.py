@@ -212,11 +212,14 @@ def train_dino(conf: ImageNetConfig) -> dict:
     else:
         epoch_len = 4
 
-        def host_iter(epoch):
-            return synthetic_dino_batches(
-                batch, task.global_crop_size, task.local_crop_size,
-                task.n_local_crop, epoch_len, seed=epoch,
-            )
+        def host_iter(epoch, skip=0):
+            import itertools
+
+            return itertools.islice(
+                synthetic_dino_batches(
+                    batch, task.global_crop_size, task.local_crop_size,
+                    task.n_local_crop, epoch_len, seed=epoch,
+                ), skip, None)
 
     # ---- schedules ----
     n_iter = epoch_len * training.epoch
@@ -307,9 +310,7 @@ def train_dino(conf: ImageNetConfig) -> dict:
             # advance on executed steps
             skip = resume_skip if epoch == start_epoch else 0
             loss_sum, n_steps, prev_metrics = None, skip, None
-            for i, host_batch in enumerate(host_iter(epoch)):
-                if i < skip:
-                    continue
+            for i, host_batch in enumerate(host_iter(epoch, skip), start=skip):
                 it += 1
                 key = jax.random.fold_in(jax.random.fold_in(aug_key, epoch), i)
                 crops = augment(key, jnp.asarray(host_batch["globals"]),

@@ -165,12 +165,12 @@ def _make_stage_loaders(conf: ImageNetConfig, settings,
         aug_key = jax.random.PRNGKey(conf.seed + 17)
 
         def train_iter(epoch: int, skip: int = 0):
-            # exact mid-epoch resume: consumed batches are skipped BEFORE
-            # augmentation/transfer — only the host decode of the skipped
-            # prefix is paid (the loader has no random-access fast-forward)
-            for i, hb in enumerate(train_loader.epoch(epoch)):
-                if i < skip:
-                    continue
+            # exact mid-epoch resume: the loader fast-forwards past consumed
+            # batches without decoding them; ``start=skip`` keeps the augment
+            # key indices absolute so the remaining batches are identical to
+            # an unskipped epoch's
+            for i, hb in enumerate(train_loader.epoch(epoch, skip),
+                                   start=skip):
                 key = jax.random.fold_in(jax.random.fold_in(aug_key, epoch), i)
                 if host_backend:
                     labels = jnp.asarray(hb["label"])
