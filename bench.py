@@ -1,9 +1,11 @@
 #!/usr/bin/env python
-"""Benchmark: ViT-S/16 training throughput (images/sec/chip) at 224px.
+"""Benchmark: north-star training throughput (images/sec/chip) at 224px.
 
 Runs the full jitted training step (fwd + bwd + AdamW + clip) in bf16 on the
-available TPU chip(s) with synthetic data — the BASELINE.json north-star
-metric.  Prints ONE JSON line.
+available TPU chip(s) with synthetic data for BOTH north-star models —
+ViT-S/16 (the BASELINE.json primary metric) and Swin-S (BASELINE.json names
+both; tracking it here catches Swin regressions the driver would otherwise
+miss).  Prints ONE JSON line; the Swin number rides in ``extra``.
 
 ``vs_baseline`` compares against an A100 data point for the same workload:
 DeiT-S (=ViT-S/16) training at 224px sustains ~1000 images/sec/chip on a
@@ -20,27 +22,26 @@ import numpy as np
 
 A100_BASELINE_IMG_PER_SEC = 1000.0
 
+VIT_S16 = {"type": "vit", "image_size": 224, "window_size": 16,
+           "n_class": 1000, "depth": 12, "dim": 384, "n_head": 6,
+           "dim_ff": 1536}
+SWIN_S = {"type": "swin_transformer", "image_size": 224, "n_class": 1000,
+          "depths": [2, 2, 18, 2], "dims": [96, 192, 384, 768],
+          "dim_head": 32, "n_heads": [3, 6, 12, 24],
+          "dim_ffs": [384, 768, 1536, 3072], "window_size": 7}
 
-def main() -> None:
+
+def sweep(model_conf, batch_sweep) -> float:
+    """Best images/sec/chip for one model over the per-chip batch sweep."""
     from vision_transformers_tpu.config import registry
+    from vision_transformers_tpu.config.schema import Training
     from vision_transformers_tpu.parallel import mesh as meshlib
     from vision_transformers_tpu.train import engine
     from vision_transformers_tpu.train.optim import make_optimizer
-    from vision_transformers_tpu.config.schema import Training
 
     n_chips = len(jax.devices())
     mesh = meshlib.make_mesh()
-    # per-chip batches to sweep: 16/chip matches DeiT's global 1024 on a
-    # v5e-64; small batches keep layer activations VMEM-resident on v5e and
-    # measure markedly faster per image (see PERF.md)
-    batch_sweep = [16 * n_chips, 64 * n_chips, 256 * n_chips]
-
-    model = registry.build(
-        "model",
-        {"type": "vit", "image_size": 224, "window_size": 16, "n_class": 1000,
-         "depth": 12, "dim": 384, "n_head": 6, "dim_ff": 1536},
-    ).make(dtype=jnp.bfloat16)
-
+    model = registry.build("model", model_conf).make(dtype=jnp.bfloat16)
     train_conf = Training(
         optimizer={"type": "adamw", "lr": 1e-3},
         scheduler={"type": "constant", "lr": 1e-3},
@@ -52,7 +53,8 @@ def main() -> None:
     shape = (2, 224, 224, 3)
     per_chip = 0.0
     with mesh:
-        params_shape = jax.eval_shape(lambda: model.init(rng, jnp.zeros(shape)))["params"]
+        params_shape = jax.eval_shape(
+            lambda: model.init(rng, jnp.zeros(shape)))["params"]
         tx = make_optimizer(train_conf, params_shape, lambda c: 1e-3)
 
         # round-trip latency of a bare fetch, subtracted from the timing
@@ -63,7 +65,8 @@ def main() -> None:
         _ = float(trivial(z))
         round_trip = time.perf_counter() - t0
 
-        for batch in batch_sweep:
+        for per_chip_batch in batch_sweep:
+            batch = per_chip_batch * n_chips
             state = engine.create_train_state(rng, model, shape, tx)
             state = jax.device_put(state, meshlib.replicated(mesh))
             train_step = jax.jit(engine.make_train_step(model, tx),
@@ -71,8 +74,10 @@ def main() -> None:
             host = {
                 "image": np.random.default_rng(0).normal(
                     size=(batch, 224, 224, 3)).astype(np.float32),
-                "label1": np.random.default_rng(1).integers(0, 1000, batch).astype(np.int32),
-                "label2": np.random.default_rng(2).integers(0, 1000, batch).astype(np.int32),
+                "label1": np.random.default_rng(1).integers(
+                    0, 1000, batch).astype(np.int32),
+                "label2": np.random.default_rng(2).integers(
+                    0, 1000, batch).astype(np.int32),
                 "ratio": np.ones(batch, np.float32),
             }
             sharded = meshlib.shard_batch(mesh, host)
@@ -88,14 +93,23 @@ def main() -> None:
                 t0 = time.perf_counter()
                 for _ in range(n_iter):
                     state, m = train_step(state, sharded, rng)
-                _ = float(m["loss"])  # single hard sync; steps chained via state
+                _ = float(m["loss"])  # single hard sync; steps chained
                 dt = min(dt, time.perf_counter() - t0 - round_trip)
             per_chip = max(per_chip, batch * n_iter / dt / n_chips)
+    return per_chip
+
+
+def main() -> None:
+    # per-chip batches: 16/chip matches DeiT's global 1024 on a v5e-64;
+    # small batches keep layer activations VMEM-resident on v5e (PERF.md)
+    vit = sweep(VIT_S16, [16, 64, 256])
+    swin = sweep(SWIN_S, [64, 128])
     print(json.dumps({
         "metric": "vit_s16_train_images_per_sec_per_chip",
-        "value": round(per_chip, 2),
+        "value": round(vit, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(per_chip / A100_BASELINE_IMG_PER_SEC, 3),
+        "vs_baseline": round(vit / A100_BASELINE_IMG_PER_SEC, 3),
+        "extra": {"swin_s_train_images_per_sec_per_chip": round(swin, 2)},
     }))
 
 

@@ -70,6 +70,81 @@ def _conv(features, kernel, stride=1, groups=1, name=None, dtype=jnp.float32):
     )
 
 
+class GroupedBatchNorm(nn.Module):
+    """BatchNorm with training statistics over ``groups`` equal batch slices
+    instead of the global batch — the reference's NON-SyncBN multi-GPU
+    semantics (its DDP wrap, /root/reference/train.py:102-107, never syncs
+    BN: each of the 8 GPUs normalizes with its OWN batch-of-512 statistics,
+    models/efficientnet.py:67).  Under a data-sharded jit the plain
+    ``nn.BatchNorm`` computes GLOBAL-batch statistics; set
+    ``arch.bn_groups = <data-parallel size>`` to reproduce the reference
+    trajectory exactly.
+
+    The [B, ...] → [G, B/G, ...] reshape splits the data-sharded batch dim,
+    so when G equals the data-parallel size the per-group reductions stay
+    shard-local — XLA inserts NO cross-replica collective at all (grouped is
+    strictly cheaper than global).  Running averages update with the
+    across-group mean of the group statistics (same expectation as any one
+    torch replica's update; torch replicas drift independently and rank 0's
+    copy is the one saved).  Param/variable tree matches ``nn.BatchNorm``
+    (params scale/bias, batch_stats mean/var), so checkpoints and the torch
+    converter are unaffected.  Statistics and normalization run in f32
+    (torch runs BN in f32 under AMP too); the biased batch variance feeds
+    both the normalization and the running update, matching flax (torch
+    uses the unbiased form for the running update — at the recipe's 512 per
+    replica the relative difference is 1/511 ≈ 0.2%, and running stats
+    never feed the training-mode forward)."""
+
+    groups: int
+    use_running_average: bool
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            mul = jax.lax.rsqrt(var + self.epsilon) * scale
+            y = (x.astype(jnp.float32) - mean) * mul + bias
+            return y.astype(self.dtype)
+
+        B, G = x.shape[0], self.groups
+        if B % G != 0:
+            raise ValueError(f"batch {B} not divisible by bn_groups {G}")
+        xg = x.reshape(G, B // G, *x.shape[1:]).astype(jnp.float32)
+        axes = tuple(range(1, xg.ndim - 1))
+        mean = jnp.mean(xg, axes)                      # [G, C]
+        var = jnp.mean(xg * xg, axes) - mean * mean    # [G, C] biased
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * mean.mean(0)
+            ra_var.value = m * ra_var.value + (1 - m) * var.mean(0)
+        bshape = (G,) + (1,) * (xg.ndim - 2) + (C,)
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (xg - mean.reshape(bshape)) * mul.reshape(bshape) + bias
+        return y.reshape(x.shape).astype(self.dtype)
+
+
+def _bn(use_running: bool, groups: int, dtype, name: str):
+    """Plain nn.BatchNorm (global-batch / sync-BN statistics, groups=0) or
+    the reference-faithful per-replica GroupedBatchNorm (groups>1)."""
+    if groups and groups > 1:
+        return GroupedBatchNorm(
+            groups=groups, use_running_average=use_running,
+            momentum=BN_MOMENTUM, epsilon=1e-3, dtype=dtype, name=name)
+    return nn.BatchNorm(use_running_average=use_running,
+                        momentum=BN_MOMENTUM, epsilon=1e-3, dtype=dtype,
+                        name=name)
+
+
 class MBConvBlock(nn.Module):
     """Fused or regular MBConv (reference: models/efficientnet.py:32-131)."""
 
@@ -82,6 +157,7 @@ class MBConvBlock(nn.Module):
     skip: bool = True
     fused: bool = False
     drop_path: float = 0.0
+    bn_groups: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -90,8 +166,7 @@ class MBConvBlock(nn.Module):
         use_running = deterministic
 
         def bn(name):
-            return nn.BatchNorm(use_running_average=use_running, momentum=BN_MOMENTUM,
-                                epsilon=1e-3, dtype=self.dtype, name=name)
+            return _bn(use_running, self.bn_groups, self.dtype, name)
 
         out = x
         if self.fused:
@@ -140,6 +215,7 @@ class EfficientNet(nn.Module):
     dropout: float = 0.0
     drop_path: float = 0.0
     remat: bool = False  # per-block jax.checkpoint (memory <-> recompute)
+    bn_groups: int = 0   # >1: per-replica BN stats (reference DDP semantics)
     dtype: Dtype = jnp.float32
 
     def expand_blocks(self) -> list[dict]:
@@ -167,8 +243,7 @@ class EfficientNet(nn.Module):
         stem_ch = round_filters(self.stem_channel, self.width, self.divisor, self.min_depth)
 
         out = _conv(stem_ch, 3, 2, name="stem_conv", dtype=self.dtype)(x)
-        out = nn.BatchNorm(use_running_average=use_running, momentum=BN_MOMENTUM,
-                           epsilon=1e-3, dtype=self.dtype, name="stem_bn")(out)
+        out = _bn(use_running, self.bn_groups, self.dtype, "stem_bn")(out)
         out = jax.nn.silu(out)
 
         blocks = self.expand_blocks()
@@ -182,13 +257,12 @@ class EfficientNet(nn.Module):
             # drop-path ramp i/n_blocks (reference set_dropout :192-199)
             out = block_cls(
                 **cfg, drop_path=self.drop_path * i / n_blocks,
-                dtype=self.dtype, name=f"block_{i}",
+                bn_groups=self.bn_groups, dtype=self.dtype, name=f"block_{i}",
             )(out, deterministic)
 
         head_ch = round_filters(self.head_channel, self.width, self.divisor, self.min_depth)
         out = _conv(head_ch, 1, name="head_conv", dtype=self.dtype)(out)
-        out = nn.BatchNorm(use_running_average=use_running, momentum=BN_MOMENTUM,
-                           epsilon=1e-3, dtype=self.dtype, name="head_bn")(out)
+        out = _bn(use_running, self.bn_groups, self.dtype, "head_bn")(out)
         out = jax.nn.silu(out)
 
         out = jnp.mean(out, axis=(1, 2))
@@ -261,6 +335,10 @@ class EfficientNetConfig(TypedConfig):
     drop_path: float = 0.0
     preset: Optional[str] = None
     remat: bool = False  # optional extension over the reference conf schema
+    # >1: per-replica BN statistics over that many batch slices (the
+    # reference's non-SyncBN DDP semantics; set to the data-parallel size).
+    # 0 (default): global-batch stats — sync-BN for free under sharded jit.
+    bn_groups: int = 0
 
     def _resolve(self):
         if self.preset is not None:
@@ -293,6 +371,7 @@ class EfficientNetConfig(TypedConfig):
             dropout=drop if dropout is None else dropout,
             drop_path=self.drop_path if drop_path is None else drop_path,
             remat=self.remat,
+            bn_groups=self.bn_groups,
             dtype=dtype,
         )
 
@@ -307,6 +386,7 @@ class EfficientNetV2Config(TypedConfig):
     dropout: float = 0.0
     drop_path: float = 0.0
     remat: bool = False  # optional extension over the reference conf schema
+    bn_groups: int = 0   # see EfficientNetConfig.bn_groups
 
     def make(self, dtype=jnp.float32, drop_path: Optional[float] = None,
              dropout: Optional[float] = None) -> EfficientNet:
@@ -318,5 +398,6 @@ class EfficientNetV2Config(TypedConfig):
             dropout=self.dropout if dropout is None else dropout,
             drop_path=self.drop_path if drop_path is None else drop_path,
             remat=self.remat,
+            bn_groups=self.bn_groups,
             dtype=dtype,
         )

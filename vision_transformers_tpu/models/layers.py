@@ -301,16 +301,22 @@ class FeedForward(nn.Module):
     kernel_init: Callable = trunc_normal_init(0.02)
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, ln=None, row_scale=None):
+    def __call__(self, x, deterministic: bool = True, ln=None, row_scale=None,
+                 return_params: bool = False):
         """``ln=(scale, bias, eps)`` switches to the fused layer-half kernel
         computing ``x + row_scale ⊙ FF(LN(x))`` in one Pallas program
         (ops/fused_layer.py); requires dropout == 0 and a silu/gelu
-        activation.  ``row_scale``: optional per-sample [B] DropPath scale."""
+        activation.  ``row_scale``: optional per-sample [B] DropPath scale.
+        ``return_params=True`` just materializes and returns the raw
+        (w1, b1, w2, b2) Dense params for the whole-layer kernel
+        (ops/fused_layer1.py)."""
         in_dim = x.shape[-1]
         dim = self.dim or in_dim
         out_dim = self.out_dim or in_dim
         w1, b1 = DenseParams(dim, kernel_init=self.kernel_init, name="fc1")(in_dim)
         w2, b2 = DenseParams(out_dim, kernel_init=self.kernel_init, name="fc2")(dim)
+        if return_params:
+            return w1, b1, w2, b2
 
         if ln is not None:
             act = {jax.nn.silu: "silu", jax.nn.gelu: "gelu"}.get(self.activation)

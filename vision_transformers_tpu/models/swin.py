@@ -129,11 +129,18 @@ class WindowAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, ln=None, row_scale=None):
+    def __call__(self, x, deterministic: bool = True, ln=None, row_scale=None,
+                 ff=None):
         """``ln=(scale, bias, eps)`` switches to the fused layer-half kernel
         and returns the FULL residual branch ``x + row_scale ⊙ Attn(LN(x))``
         computed in one Pallas program per window group (ops/fused_layer.py);
-        without ``ln`` returns just the attention output as before."""
+        without ``ln`` returns just the attention output as before.
+
+        ``ff=(g2, b2, w1, b1, w2, b2f, act, rs_ff)`` additionally fuses the
+        FF residual branch into the SAME Pallas program (one custom call per
+        layer, ops/fused_layer1.py) and returns the full layer output.  The
+        FF half is token-pointwise, so it commutes with the roll/partition
+        permutation and runs in the window-partitioned layout for free."""
         b, h, w, dim = x.shape
         window = self.window_size
         hs, ws = h // window, w // window
@@ -223,11 +230,28 @@ class WindowAttention(nn.Module):
                 g_ln, b_ln, eps = ln
                 rs_rows = None if row_scale is None \
                     else jnp.tile(row_scale, groups)
-                out = _ops.fused_attention_layer(
-                    xw, g_ln, b_ln, wqkv.astype(self.dtype),
-                    bqkv.astype(self.dtype), wout.astype(self.dtype),
-                    bout.astype(self.dtype), self.n_head, extra, rs_rows,
-                    scale, eps)
+                if ff is not None:
+                    # both residual branches in ONE custom call: rows are
+                    # (group, sample) pairs so the per-sample DropPath
+                    # scales tile over groups (their cotangents fold back
+                    # through the differentiable tile)
+                    g2, b2, w1f, b1f, w2f, b2f, act, rs_ff = ff
+                    rs_ff_rows = None if rs_ff is None \
+                        else jnp.tile(rs_ff, groups)
+                    out = _ops.fused_transformer_layer(
+                        xw, g_ln, b_ln, wqkv.astype(self.dtype),
+                        bqkv.astype(self.dtype), wout.astype(self.dtype),
+                        bout.astype(self.dtype), g2, b2,
+                        w1f.astype(self.dtype), b1f.astype(self.dtype),
+                        w2f.astype(self.dtype), b2f.astype(self.dtype),
+                        self.n_head, extra, rs_rows, rs_ff_rows, act,
+                        scale, eps)
+                else:
+                    out = _ops.fused_attention_layer(
+                        xw, g_ln, b_ln, wqkv.astype(self.dtype),
+                        bqkv.astype(self.dtype), wout.astype(self.dtype),
+                        bout.astype(self.dtype), self.n_head, extra, rs_rows,
+                        scale, eps)
             elif impl == "block":
                 # whole-block kernel: qkv projection + attention + out
                 # projection in one Pallas program, weights VMEM-resident
@@ -317,10 +341,19 @@ class SwinLayer(nn.Module):
         # measured default (PERF.md round 2): the fused attention-layer
         # kernel beats einsum/block at every Swin stage (900/913 vs 746/889
         # img/s/chip at 64/128 per chip)
-        use_layer = _ops.attention_impl(
-            b, seq=self.window_size ** 2, default="layer") == "layer" \
+        impl = _ops.attention_impl(
+            b, seq=self.window_size ** 2, default="layer")
+        use_layer = impl in ("layer", "layer1") \
             and (deterministic or (self.drop_attn == 0.0 and
                                    self.drop_ff == 0.0))
+        if use_layer and impl == "layer1":
+            # whole layer (both residual branches) as ONE custom call inside
+            # the window partition (ops/fused_layer1.py)
+            w1f, b1f, w2f, b2f = ff(x, return_params=True)
+            return attn(x, deterministic, ln=(g1, b1, _LN_EPS),
+                        row_scale=self._row_scale(b, deterministic),
+                        ff=(g2, b2, w1f, b1f, w2f, b2f, "silu",
+                            self._row_scale(b, deterministic)))
         if use_layer:
             x = attn(x, deterministic, ln=(g1, b1, _LN_EPS),
                      row_scale=self._row_scale(b, deterministic))

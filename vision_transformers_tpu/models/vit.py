@@ -76,12 +76,15 @@ class MultiHeadedAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, ln=None, row_scale=None,
-                 extra=None):
+                 extra=None, return_params: bool = False):
         """``ln=(scale, bias, eps)`` switches to the fused layer-half kernel
         computing ``x + row_scale ⊙ Attn(LN(x))`` in one Pallas program
         (ops/fused_layer.py); ``row_scale``: per-sample DropPath scale;
         ``extra``: additive [n, n] f32 attention bias (the block-diagonal
-        mask of the model-level crop packing)."""
+        mask of the model-level crop packing).  ``return_params=True`` just
+        materializes and returns the raw (wqkv, bqkv, wout, bout) Dense
+        params — the whole-layer kernel (ops/fused_layer1.py) takes the
+        weights of both residual branches directly."""
         b, n, dim = x.shape
         dim_head = dim // self.n_head
 
@@ -92,6 +95,8 @@ class MultiHeadedAttention(nn.Module):
             kernel_init=trunc_normal_init(0.02), name="qkv")(dim)
         wout, bout = DenseParams(
             dim, kernel_init=trunc_normal_init(0.02), name="linear")(dim)
+        if return_params:
+            return wqkv, bqkv, wout, bout
         scale = 1.0 / math.sqrt(dim_head)
         from .. import ops as _ops
 
@@ -210,10 +215,28 @@ class TransformerLayer(nn.Module):
         # for full-length sequences (incl. model-packed short crops), einsum
         # for short unpacked ones
         site_default = "layer" if (n >= 128 or pack > 1) else "einsum"
-        use_layer = _ops.attention_impl(b, seq=n, default=site_default) == "layer" \
+        impl = _ops.attention_impl(b, seq=n, default=site_default)
+        use_layer = impl in ("layer", "layer1") \
             and (deterministic or (self.dropout == 0.0 and
                                    self.drop_attn == 0.0 and
                                    self.drop_ff == 0.0))
+        if use_layer and impl == "layer1":
+            # whole layer (attention + FF residual branches) as ONE custom
+            # call (ops/fused_layer1.py) — kills the per-layer dependent-
+            # custom-call boundary (PERF.md round 3).  Token-level DropPath
+            # scales (packed crops) need the two-call path below.
+            rs1 = self._row_scale(b, deterministic, pack, n // pack)
+            if rs1 is None or rs1.ndim == 1:
+                rs2 = self._row_scale(b, deterministic, pack, n // pack)
+                wqkv, bqkv, wout, bout = attn(x, return_params=True)
+                w1f, b1f, w2f, b2f = ff(x, return_params=True)
+                return _ops.fused_transformer_layer(
+                    x, g1, b1, wqkv.astype(self.dtype),
+                    None if bqkv is None else bqkv.astype(self.dtype),
+                    wout.astype(self.dtype), bout.astype(self.dtype),
+                    g2, b2, w1f.astype(self.dtype), b1f.astype(self.dtype),
+                    w2f.astype(self.dtype), b2f.astype(self.dtype),
+                    self.n_head, extra, rs1, rs2, "silu", eps=_LN_EPS)
         if use_layer:
             # attention residual branch as one fused kernel; DropPath rides
             # in as a per-sample row scale.  Token-level scales (packed

@@ -31,6 +31,7 @@ from . import fused_attention as fused_attention_mod  # noqa: F401
 from . import fused_block as fused_block_mod  # noqa: F401
 from . import fused_halo as fused_halo_mod  # noqa: F401
 from . import fused_layer as fused_layer_mod  # noqa: F401
+from . import fused_layer1 as fused_layer1_mod  # noqa: F401
 
 _FORCED: Optional[str] = None
 _INTERPRET: bool = False
@@ -57,7 +58,7 @@ def set_attention_impl(impl: Optional[str], interpret: bool = False) -> None:
     None = measurement-driven auto.  ``interpret`` runs the Pallas kernels
     in interpret mode (CPU testing)."""
     global _FORCED, _INTERPRET
-    assert impl in (None, "einsum", "fused", "block", "layer"), impl
+    assert impl in (None, "einsum", "fused", "block", "layer", "layer1"), impl
     _FORCED = impl
     _INTERPRET = interpret
 
@@ -91,6 +92,18 @@ def fused_attention_layer(x, ln_scale, ln_bias, wqkv, bqkv, wout, bout,
     return fused_layer_mod.fused_attention_layer(
         x, ln_scale, ln_bias, wqkv, bqkv, wout, bout, n_head, extra,
         row_scale, scale, eps, _INTERPRET)
+
+
+def fused_transformer_layer(x, ln1_scale, ln1_bias, wqkv, bqkv, wout, bout,
+                            ln2_scale, ln2_bias, w1, b1, w2, b2, n_head,
+                            extra=None, rs_attn=None, rs_ff=None,
+                            activation="silu", scale=None, eps=1e-6):
+    """Whole pre-LN transformer layer (attention + FF residual branches) as
+    ONE custom call (see ops/fused_layer1.py)."""
+    return fused_layer1_mod.fused_transformer_layer(
+        x, ln1_scale, ln1_bias, wqkv, bqkv, wout, bout, ln2_scale, ln2_bias,
+        w1, b1, w2, b2, n_head, extra, rs_attn, rs_ff, activation, scale,
+        eps, _INTERPRET)
 
 
 def fused_ff_layer(x, ln_scale, ln_bias, w1, b1, w2, b2, activation="silu",
@@ -197,7 +210,7 @@ def attention_impl(batch: Optional[int] = None, seq: Optional[int] = None,
     if _FORCED is not None:
         return _FORCED
     env = os.environ.get("VTX_ATTN_IMPL")
-    if env in ("einsum", "fused", "block", "layer"):
+    if env in ("einsum", "fused", "block", "layer", "layer1"):
         return env
     env = os.environ.get("VTX_FUSED_ATTENTION")
     if env is not None:
