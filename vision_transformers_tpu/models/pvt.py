@@ -74,7 +74,8 @@ class SpatialReductionAttention(nn.Module):
         from .. import ops as _ops
 
         if (prev is None and (deterministic or self.dropout == 0.0)
-                and _ops.sra_attention_impl(default="einsum") == "fused"):
+                and _ops.sra_attention_impl(
+                    default="einsum", n_kv=k.shape[1]) == "fused"):
             # rectangular-score kernel path (A/B'd vs the einsum default,
             # PERF.md); the never-used ``prev`` score chain and attention
             # dropout stay on the einsum path

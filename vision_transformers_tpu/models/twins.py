@@ -168,7 +168,8 @@ class GlobalSubsampledAttention(nn.Module):
         from .. import ops as _ops
 
         if ((deterministic or self.dropout == 0.0)
-                and _ops.sra_attention_impl(default="einsum") == "fused"):
+                and _ops.sra_attention_impl(
+                    default="einsum", n_kv=k.shape[1]) == "fused"):
             # rectangular-score kernel path (A/B'd vs the einsum default,
             # PERF.md); attention dropout stays on the einsum path
             out = _ops.fused_attention(

@@ -228,7 +228,12 @@ def attention_impl(batch: Optional[int] = None, seq: Optional[int] = None,
     return default
 
 
-def sra_attention_impl(default: str = "einsum") -> str:
+def interpret_mode() -> bool:
+    """Whether kernels run in Pallas interpret mode (CPU tests)."""
+    return _INTERPRET
+
+
+def sra_attention_impl(default: str = "einsum", n_kv: Optional[int] = None) -> str:
     """Reduced-kv (rectangular-score) attention sites — PVT SRA and Twins
     GSA (reference models/pvt.py:26-69, models/twins.py:39-93): q over the
     full token grid, k/v over the conv-reduced grid.  ``fused`` routes the
@@ -236,7 +241,17 @@ def sra_attention_impl(default: str = "einsum") -> str:
     supports M≠N); ``einsum`` keeps the XLA path.  ``VTX_SRA_IMPL``
     overrides; a global einsum/fused force (VTX_ATTN_IMPL or
     set_attention_impl) also applies so the interpret-mode tests can opt
-    in; the per-site ``default`` is the measured winner (PERF.md)."""
+    in; the per-site ``default`` is the measured winner (PERF.md).
+
+    ``n_kv``: the call's reduced k/v token count.  Below 8 tokens the
+    kernel path is disabled on hardware regardless of any force: the
+    near-matvec q·kᵀ dot (Twins stage 4 reduces to ONE k token) trips a
+    Mosaic lowering bug (mixed-dtype vector.broadcast verification
+    failure), and a <8-sublane contraction has nothing to win on the MXU
+    anyway.  Interpret mode (CPU tests) doesn't lower through Mosaic and
+    stays exact."""
+    if n_kv is not None and n_kv < 8 and not _INTERPRET:
+        return "einsum"
     env = os.environ.get("VTX_SRA_IMPL")
     if env in ("einsum", "fused"):
         return env
