@@ -70,9 +70,14 @@ def main() -> None:
         decode_valid(open(p, "rb").read(), size) for p in images
     ])
 
+    from vision_transformers_tpu import ops as kernel_ops
+
     @jax.jit
     def forward(x):
-        logits = model.apply(variables, ops.normalize(x.astype(jnp.float32)))
+        # inference-only → layer1 kernel dispatch (PERF.md round 4)
+        with kernel_ops.forward_only():
+            logits = model.apply(variables,
+                                 ops.normalize(x.astype(jnp.float32)))
         return jax.nn.softmax(logits, axis=-1)
 
     probs = np.asarray(forward(jnp.asarray(batch)))

@@ -247,3 +247,55 @@ def test_layer1_droppath_matches_layer_impl():
     np.testing.assert_allclose(np.asarray(outs["layer1"]),
                                np.asarray(outs["layer"]),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_forward_only_upgrades_layer_to_layer1(monkeypatch):
+    """ops.forward_only() upgrades the 'layer' site default to 'layer1'
+    (fwd-only stack A/B, PERF.md round 4) — but never overrides an explicit
+    force, an einsum default, or the short-sequence einsum fallback."""
+    from vision_transformers_tpu import ops
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert ops.attention_impl(256, 197, default="layer") == "layer"
+    with ops.forward_only():
+        assert ops.attention_impl(256, 197, default="layer") == "layer1"
+        # below the measured 128-row gate the short forward keeps layer
+        # (eval at 64 rows/chip measured -4.5% for layer1)
+        assert ops.attention_impl(64, 197, default="layer") == "layer"
+        # einsum defaults (short crops, reduced-kv sites) stay einsum
+        assert ops.attention_impl(256, 37, default="einsum") == "einsum"
+        # tiny batches still take the VMEM-resident einsum path
+        assert ops.attention_impl(8, 197, default="layer") == "einsum"
+        # an explicit force wins
+        ops.set_attention_impl("layer")
+        try:
+            assert ops.attention_impl(256, 197, default="layer") == "layer"
+        finally:
+            ops.set_attention_impl(None)
+    # context restored
+    assert ops.attention_impl(256, 197, default="layer") == "layer"
+
+
+def test_dino_teacher_forward_only_parity():
+    """The teacher forward under ops.forward_only() (layer1 dispatch) is
+    numerically the layer-path teacher forward — interpret-mode kernels on
+    CPU, through the real ViT multi-crop apply (train/dino.py:90-97)."""
+    from vision_transformers_tpu import ops
+    from vision_transformers_tpu.models.vit import DINOConfig
+
+    model = DINOConfig(
+        image_size=32, window_size=8, dim=32, depth=2, n_head=2,
+        dim_ff=64, dim_head_out=24, dim_head_ff=32,
+        dim_head_bottleneck=16).make()
+    rng = np.random.default_rng(3)
+    crops = [jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+             for _ in range(2)]
+    params = model.init(jax.random.PRNGKey(0), crops, deterministic=True)
+    outs = {}
+    for impl in ("layer", "layer1"):
+        with _impl_ctx(impl):
+            with ops.forward_only():
+                outs[impl] = model.apply(params, crops, deterministic=True)
+    np.testing.assert_allclose(np.asarray(outs["layer1"]),
+                               np.asarray(outs["layer"]),
+                               rtol=5e-4, atol=5e-5)

@@ -24,6 +24,7 @@ measured defaults passed by the model code.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Optional
 
@@ -35,6 +36,27 @@ from . import fused_layer1 as fused_layer1_mod  # noqa: F401
 
 _FORCED: Optional[str] = None
 _INTERPRET: bool = False
+_FORWARD_ONLY: bool = False
+
+
+@contextlib.contextmanager
+def forward_only():
+    """Trace-time marker: the wrapped model apply is never differentiated
+    (DINO teacher forward, eval/predict).  Upgrades the 'layer' attention
+    default to 'layer1' — with no backward, the one-call-per-layer kernel
+    just removes the per-layer dependent-custom-call boundary from the
+    forward chain: measured 1.18× on the fwd-only 12-layer ViT-S stack
+    (scripts/exp_fwdonly_layer1.py, PERF.md round 4; the train-step loss
+    that keeps layer1 off for ViT lives entirely in the FF backward's
+    per-row weight grads).  Explicit forces (env / set_attention_impl)
+    still win."""
+    global _FORWARD_ONLY
+    prev = _FORWARD_ONLY
+    _FORWARD_ONLY = True
+    try:
+        yield
+    finally:
+        _FORWARD_ONLY = prev
 
 # below this per-call batch the einsum path stays VMEM-resident and wins
 # (measured on v5e, PERF.md)
@@ -44,6 +66,12 @@ _AUTO_MIN_BATCH = 32
 # 37-token DINO local crops win einsum); the block kernel has its own
 # measured defaults passed per call site
 _AUTO_MIN_SEQ = 128
+# forward-only (no backward) row-count gate for the layer→layer1 upgrade:
+# ViT-S eval measured 13289 vs 12544 img/s/chip at 256 rows/chip (+5.9%
+# for layer1) but 13199 vs 13822 at 64 (-4.5%) — small forwards are too
+# short to pay layer1's per-call setup; the DINO teacher (256 rows at
+# 128/chip) measured neutral either way (PERF.md round 4)
+_FWDONLY_L1_MIN_BATCH = 128
 
 
 def set_fused_attention(enabled: Optional[bool], interpret: bool = False) -> None:
@@ -225,6 +253,11 @@ def attention_impl(batch: Optional[int] = None, seq: Optional[int] = None,
         return "einsum"  # tiny batches stay VMEM-resident under einsum
     if default == "fused" and seq is not None and seq < _AUTO_MIN_SEQ:
         return "einsum"  # short-seq standalone kernel loses (DINO locals)
+    if default == "layer" and _FORWARD_ONLY and \
+            (batch is None or batch >= _FWDONLY_L1_MIN_BATCH) and \
+            os.environ.get("VTX_FWDONLY_L1") not in ("0", "false", "off"):
+        return "layer1"  # no backward → one call per layer wins (fwd-only
+        #                  stack A/B, PERF.md round 4)
     return default
 
 

@@ -33,6 +33,7 @@ import numpy as np
 import optax
 from flax import struct
 
+from .. import ops
 from ..config.schema import ImageNetConfig
 from ..parallel import mesh as meshlib
 from ..utils import preempt
@@ -87,10 +88,14 @@ def make_dino_train_step(training, student_model, teacher_model,
         """Teacher fwd on the 2 global crops, student grads on all crops,
         center EMA — the reference's per-loader-batch unit
         (train_dino.py:224-233; loss.py:144-151)."""
-        teacher_out = teacher_model.apply(
-            {"params": teacher_params}, [crops_mb[0], crops_mb[1]],
-            deterministic=True,
-        ).astype(jnp.float32)
+        # the teacher is never differentiated → forward_only upgrades the
+        # layer kernel to layer1 (one custom call per layer, measured 1.18×
+        # fwd-only — PERF.md round 4)
+        with ops.forward_only():
+            teacher_out = teacher_model.apply(
+                {"params": teacher_params}, [crops_mb[0], crops_mb[1]],
+                deterministic=True,
+            ).astype(jnp.float32)
 
         def loss_fn(params):
             student_out = student_model.apply(

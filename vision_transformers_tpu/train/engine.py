@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from .. import ops as _ops
 from . import loss as L
 
 __all__ = [
@@ -246,7 +247,12 @@ def make_eval_step(model, use_ema: bool = False) -> Callable:
         params = state.ema_params if use_ema else state.params
         stats = state.ema_batch_stats if (use_ema and state.ema_batch_stats is not None) \
             else state.batch_stats
-        logits, _ = _apply(model, params, stats, batch["image"], False, None)
+        # eval is never differentiated → layer1 (one custom call per layer)
+        # replaces the layer kernel for the transformer families (PERF.md
+        # round 4, fwd-only stack A/B)
+        with _ops.forward_only():
+            logits, _ = _apply(model, params, stats, batch["image"], False,
+                               None)
         b = batch["image"].shape[0]
         w = batch.get("weight")
         if w is None:
