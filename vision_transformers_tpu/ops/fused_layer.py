@@ -45,6 +45,10 @@ from .fused_block import _extra_form, _head_slices
 
 __all__ = ["fused_attention_layer", "fused_ff_layer"]
 
+# A/B knob (read at import): store the backward's per-head attention
+# probabilities in bf16 instead of f32 (see the softmax in the bwd kernel)
+_BF16_P = os.environ.get("VTX_BF16_P") in ("1", "true", "on")
+
 
 # ---------------------------------------------------------------------------
 # shared LayerNorm pieces (flax numerics: f32 stats, fast variance,
@@ -211,7 +215,13 @@ def _attn_layer_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
                 s = s + extra_ref[0, h].astype(jnp.float32)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
-            ps.append(p / jnp.sum(p, axis=-1, keepdims=True))
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            # VTX_BF16_P=1: hold the per-head probabilities in bf16 between
+            # their uses (halves their VMEM/register footprint; the dots
+            # cast to bf16 anyway — only the f32 ds composition loses
+            # precision).  A/B knob for the round-2 "bf16 score storage"
+            # lead; measured default off (PERF.md round 4).
+            ps.append(p.astype(x_ref.dtype) if _BF16_P else p)
         if save != "none":
             # acc saved by the vjp forward — skips n_head LOW-DENSITY
             # [N,N]·[N,D] av dots per row (the per-head pass floor is the

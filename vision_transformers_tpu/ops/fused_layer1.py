@@ -52,7 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_attention import _env_bc
 from .fused_block import _extra_form, _head_slices
-from .fused_layer import _act_bwd, _act_fwd, _ln_bwd, _ln_fwd
+from .fused_layer import _BF16_P, _act_bwd, _act_fwd, _ln_bwd, _ln_fwd
 
 __all__ = ["fused_transformer_layer"]
 
@@ -276,7 +276,9 @@ def _l1_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
                 s = s + extra_ref[0, h].astype(jnp.float32)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
-            ps.append(p / jnp.sum(p, axis=-1, keepdims=True))
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            # VTX_BF16_P: bf16 probability storage A/B (see fused_layer.py)
+            ps.append(p.astype(x_ref.dtype) if _BF16_P else p)
         acc = acc_ref[j]  # saved by the vjp forward (always, in this kernel)
 
         if has_rs:
