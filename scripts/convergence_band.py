@@ -32,7 +32,6 @@ def main():
     ap.add_argument("--recipes", default="swin,effnetv2")
     args = ap.parse_args()
 
-    import numpy as np
     import test_convergence_band as cb
 
     out = {}

@@ -25,7 +25,8 @@ PhaseScheduler, tests/test_schedule.py), so sharing them here does not mask a
 schedule bug, and it removes a nuisance variable from the band.
 
 Full-length runs (500 steps) via scripts/convergence_band.py; this pytest
-runs the 240-step version of both recipes.
+runs the 240-step version of the recipes.  A third recipe covers DINO at
+its scaled production lr with freeze_last_layer active (see _run_dino).
 """
 
 import copy
@@ -248,6 +249,9 @@ def run_recipe(recipe: str, steps: int, seeds=SEEDS):
             t_curves.append(torch_swin_losses(tm, batches, lrs, steps))
         return {"torch": t_curves, "ours": j_curves}
 
+    if recipe == "dino":
+        return _run_dino(steps, seeds)
+
     if recipe == "effnetv2":
         from models.efficientnet import efficientnetv2 as torch_effv2
 
@@ -274,6 +278,130 @@ def run_recipe(recipe: str, steps: int, seeds=SEEDS):
         return {"torch": t_curves, "ours": j_curves}
 
     raise ValueError(recipe)
+
+
+def _run_dino(steps, seeds):
+    """DINO band at the 1024-batch recipe lr (config/dino_deit-s-16.conf:
+    base_lr 5e-4 → linear-scaled 2e-3), with the FULL production stack
+    active: cosine wd 0.04→0.4, clip 3.0, teacher-momentum cosine
+    0.996→1, teacher-temperature warmup, and freeze_last_layer=1 — so the
+    band statistically covers the one knowingly-unpinned deviation (optax
+    moments advancing for the frozen last layer while torch AdamW skips
+    grad-None params, train/dino.py) in the regime where it acts."""
+    from test_dino_trajectory_parity import (
+        DINO_KW, _decay_split, _init_single_process_group)
+    from models.vit import dino as torch_dino
+    from loss import DINOLoss
+    from train_util import cancel_last_layer_grad
+
+    from vision_transformers_tpu.train.dino import (
+        DINOTrainState, make_dino_train_step)
+    from vision_transformers_tpu.train.loss import (
+        teacher_temperature_schedule)
+    from vision_transformers_tpu.train.schedule import cosine_schedule
+
+    LR, CLIP, WD, WD_END = 2e-3, 3.0, 0.04, 0.4
+    TEMP_WARM, TEMP, TEMP_WARM_EPOCH = 0.04, 0.07, 3
+    TEACHER_M, FREEZE = 0.996, 1
+    EPOCH_LEN = 10
+    n_epoch = max(steps // EPOCH_LEN, TEMP_WARM_EPOCH + 1)
+    N_CROP = 4  # 2 globals + 2 locals (tiny-model stand-in for 2+8)
+
+    rng = np.random.default_rng(13)
+    batches = [
+        [rng.normal(size=(B, s, s, 3)).astype(np.float32)
+         for s in (32, 32, 16, 16)]
+        for _ in range(12)
+    ]
+    wd_sched = cosine_schedule(WD, WD_END, steps)
+    mom_sched = cosine_schedule(TEACHER_M, 1.0, steps)
+    temp_sched = teacher_temperature_schedule(TEMP_WARM, TEMP,
+                                              TEMP_WARM_EPOCH, n_epoch)
+
+    def torch_losses(tm):
+        _init_single_process_group()
+        teacher = torch_dino(**DINO_KW)
+        teacher.load_state_dict(tm.state_dict())
+        for p in teacher.parameters():
+            p.requires_grad = False
+        tm.train()
+        teacher.train()
+        criterion = DINOLoss(DINO_KW["dim_head_out"], N_CROP, TEMP_WARM,
+                             TEMP, TEMP_WARM_EPOCH, n_epoch)
+        decay, no_decay = _decay_split(tm)
+        opt = torch.optim.AdamW(
+            [{"params": no_decay, "weight_decay": 0.0, "no_decay": True},
+             {"params": decay, "weight_decay": WD}],
+            lr=LR, betas=(0.9, 0.999), eps=1e-8)
+        params = list(tm.parameters())
+        losses = []
+        for t in range(steps):
+            epoch = t // EPOCH_LEN
+            inputs = [torch.tensor(c.transpose(0, 3, 1, 2))
+                      for c in batches[t % len(batches)]]
+            with torch.no_grad():
+                teacher_out = teacher(inputs[:2])
+            loss = criterion(tm(inputs), teacher_out, epoch)
+            loss.backward()
+            for pg in opt.param_groups:
+                if "no_decay" not in pg:
+                    pg["weight_decay"] = wd_sched[t]
+            torch.nn.utils.clip_grad_norm_(params, CLIP)
+            cancel_last_layer_grad(epoch, tm, FREEZE)
+            opt.step()
+            opt.zero_grad(set_to_none=True)
+            with torch.no_grad():
+                m = mom_sched[t]
+                for pq, pk in zip(tm.parameters(), teacher.parameters()):
+                    pk.detach().mul_(m).add_(pq.detach(), alpha=1 - m)
+            losses.append(float(loss.detach()))
+        return losses
+
+    def ours_losses_dino(sd0):
+        cfg_dict = {"type": "dino", **DINO_KW}
+        model = registry.build("model", cfg_dict).make()
+        params0 = jax.tree.map(jnp.asarray,
+                               convert_variables(cfg_dict, sd0)["params"])
+        train_conf = Training(
+            optimizer={"type": "adamw", "lr": LR},
+            scheduler={"type": "constant", "lr": LR},
+            base_lr=LR, weight_decay=WD, wd_skip="dino", epoch=n_epoch,
+            agc=0.0, clip_grad_norm=CLIP, grad_accumulation=1,
+        )
+        tx, train_step = make_dino_train_step(
+            train_conf, model, model, params0, lambda t: LR, wd_sched,
+            N_CROP)
+        state = DINOTrainState(
+            step=jnp.zeros((), jnp.int32), student=params0,
+            teacher=jax.tree.map(jnp.copy, params0),
+            opt_state=tx.init(params0),
+            center=jnp.zeros((1, DINO_KW["dim_head_out"]), jnp.float32),
+        )
+        step_jit = jax.jit(train_step)
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for t in range(steps):
+            epoch = t // EPOCH_LEN
+            crops = [jnp.asarray(c) for c in batches[t % len(batches)]]
+            state, metrics = step_jit(state, crops, key,
+                                      jnp.float32(temp_sched[epoch]),
+                                      jnp.float32(mom_sched[t]),
+                                      jnp.int32(FREEZE > epoch))
+            losses.append(float(metrics["loss"]))
+        return losses
+
+    t_curves, j_curves = [], []
+    for seed in seeds:
+        torch.manual_seed(seed)
+        tm = torch_dino(**DINO_KW)
+        with torch.no_grad():
+            for name, p in tm.named_parameters():
+                if "weight_g" in name:
+                    p.normal_(1.0, 0.2)
+        sd0 = copy.deepcopy(tm.state_dict())
+        j_curves.append(ours_losses_dino(sd0))
+        t_curves.append(torch_losses(tm))
+    return {"torch": t_curves, "ours": j_curves}
 
 
 def band_stats(curves, steps, window):
@@ -320,4 +448,13 @@ def test_effnetv2_production_lr_band():
     steps, window = 240, 30
     report = assert_bands_overlap(run_recipe("effnetv2", steps), steps,
                                   window, "effnetv2")
+    print("\n".join(report))
+
+
+def test_dino_production_lr_band():
+    """Covers the freeze-epoch moments deviation (train/dino.py) in its
+    acting regime: production lr, clip 3.0, freeze_last_layer=1."""
+    steps, window = 240, 30
+    report = assert_bands_overlap(run_recipe("dino", steps), steps,
+                                  window, "dino")
     print("\n".join(report))

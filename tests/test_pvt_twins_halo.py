@@ -283,3 +283,27 @@ def test_twins_gsa_fused_path_matches_einsum(tiny_twins):
         np.testing.assert_allclose(
             np.asarray(leaf), np.asarray(flat_ref[path]), rtol=5e-4,
             atol=5e-4, err_msg=jax.tree_util.keystr(path))
+
+
+def test_twins_lsa_layer1_force_maps_to_layer_kernel(tiny_twins):
+    """A global layer1 force (or the forward_only upgrade) must keep Twins
+    LSA on the fused attention-half kernel, not silently downgrade it to
+    einsum — the LSA window partition sits between the residual branches so
+    the one-call-per-layer kernel cannot apply (models/twins.py)."""
+    from vision_transformers_tpu import ops
+
+    model, params = tiny_twins
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    base = model.apply(params, x)
+    for impl in ("layer", "layer1"):
+        ops.set_attention_impl(impl, interpret=True)
+        try:
+            jaxpr = str(jax.make_jaxpr(
+                lambda p, xx: model.apply(p, xx))(params, x))
+            out = model.apply(params, x)
+        finally:
+            ops.set_attention_impl(None)
+        assert "pallas_call" in jaxpr, f"{impl}: LSA fell back to einsum"
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   rtol=5e-4, atol=5e-5)

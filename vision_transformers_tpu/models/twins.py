@@ -218,8 +218,12 @@ class TwinsLayer(nn.Module):
         attn_local = LocalAttention(self.n_head, self.dim_head,
                                     self.window_size, self.drop_attn,
                                     dtype=self.dtype, name="attn_local")
+        # "layer1" maps to the attention-half kernel here: the LSA window
+        # partition sits between the two residual branches, so the
+        # one-call-per-layer kernel cannot fuse across it
         use_layer = _ops.attention_impl(
-            b, seq=self.window_size ** 2, default="layer") == "layer" \
+            b, seq=self.window_size ** 2, default="layer") \
+            in ("layer", "layer1") \
             and (deterministic or self.drop_attn == 0.0)
         if use_layer:
             x = attn_local(x, deterministic, ln=(g1, b1, _LN_EPS),

@@ -220,11 +220,15 @@ class TransformerLayer(nn.Module):
             and (deterministic or (self.dropout == 0.0 and
                                    self.drop_attn == 0.0 and
                                    self.drop_ff == 0.0))
-        if use_layer and impl == "layer1":
+        # token-level DropPath scales (packed crops with drop_path > 0)
+        # need the two-call path below; checked BEFORE drawing so the
+        # dropout rng stream stays aligned with the "layer" impl
+        scales_per_sample = (deterministic or self.drop_path == 0.0
+                             or pack == 1)
+        if use_layer and impl == "layer1" and scales_per_sample:
             # whole layer (attention + FF residual branches) as ONE custom
             # call (ops/fused_layer1.py) — kills the per-layer dependent-
-            # custom-call boundary (PERF.md round 3).  Token-level DropPath
-            # scales (packed crops) need the two-call path below.
+            # custom-call boundary (PERF.md round 3)
             rs1 = self._row_scale(b, deterministic, pack, n // pack)
             if rs1 is None or rs1.ndim == 1:
                 rs2 = self._row_scale(b, deterministic, pack, n // pack)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import threading
 from typing import Optional
 
 from . import fused_attention as fused_attention_mod  # noqa: F401
@@ -36,7 +37,9 @@ from . import fused_layer1 as fused_layer1_mod  # noqa: F401
 
 _FORCED: Optional[str] = None
 _INTERPRET: bool = False
-_FORWARD_ONLY: bool = False
+# thread-local so a concurrent trace on another thread (e.g. warming the
+# eval step while a train step compiles) never observes eval's mode
+_TLS = threading.local()
 
 
 @contextlib.contextmanager
@@ -50,13 +53,12 @@ def forward_only():
     that keeps layer1 off for ViT lives entirely in the FF backward's
     per-row weight grads).  Explicit forces (env / set_attention_impl)
     still win."""
-    global _FORWARD_ONLY
-    prev = _FORWARD_ONLY
-    _FORWARD_ONLY = True
+    prev = getattr(_TLS, "forward_only", False)
+    _TLS.forward_only = True
     try:
         yield
     finally:
-        _FORWARD_ONLY = prev
+        _TLS.forward_only = prev
 
 # below this per-call batch the einsum path stays VMEM-resident and wins
 # (measured on v5e, PERF.md)
@@ -253,7 +255,7 @@ def attention_impl(batch: Optional[int] = None, seq: Optional[int] = None,
         return "einsum"  # tiny batches stay VMEM-resident under einsum
     if default == "fused" and seq is not None and seq < _AUTO_MIN_SEQ:
         return "einsum"  # short-seq standalone kernel loses (DINO locals)
-    if default == "layer" and _FORWARD_ONLY and \
+    if default == "layer" and getattr(_TLS, "forward_only", False) and \
             (batch is None or batch >= _FWDONLY_L1_MIN_BATCH) and \
             os.environ.get("VTX_FWDONLY_L1") not in ("0", "false", "off"):
         return "layer1"  # no backward → one call per layer wins (fwd-only

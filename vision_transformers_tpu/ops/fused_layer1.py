@@ -434,6 +434,9 @@ def _save_mode(C: int) -> str:
         return "none"
     if env == "acc":
         return "z+acc"
+    if env not in ("auto", "qkv", "1"):
+        # a typo'd A/B knob must not silently measure the default
+        raise ValueError(f"VTX_L1_SAVE={env!r}: expected none|acc|qkv|auto")
     return "z+acc+qkv"
 
 
