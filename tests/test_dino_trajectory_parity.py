@@ -92,7 +92,8 @@ def _init_single_process_group():
             rank=0, world_size=1)
 
 
-def _torch_trajectory(tm, batches, wd_sched, mom_sched, steps, freeze):
+def _torch_trajectory(tm, batches, wd_sched, mom_sched, steps, freeze,
+                      checkpoints=CHECKPOINTS):
     """Reference train loop replay (train_dino.py:218-261)."""
     from loss import DINOLoss
     from models.vit import dino as torch_dino
@@ -136,14 +137,15 @@ def _torch_trajectory(tm, batches, wd_sched, mom_sched, steps, freeze):
             m = mom_sched[t]
             for pq, pk in zip(tm.parameters(), teacher.parameters()):
                 pk.detach().mul_(m).add_(pq.detach(), alpha=1 - m)
-        if (t + 1) in CHECKPOINTS:
+        if (t + 1) in checkpoints:
             snapshots[t + 1] = (copy.deepcopy(tm.state_dict()),
                                 copy.deepcopy(teacher.state_dict()),
                                 criterion.center.clone())
     return snapshots, norms
 
 
-def _ours_trajectory(sd0, batches, wd_sched, mom_sched, steps, freeze):
+def _ours_trajectory(sd0, batches, wd_sched, mom_sched, steps, freeze,
+                     checkpoints=CHECKPOINTS):
     cfg_dict = {"type": "dino", **DINO_KW}
     model = registry.build("model", cfg_dict).make()
     params0 = jax.tree.map(jnp.asarray,
@@ -175,7 +177,7 @@ def _ours_trajectory(sd0, batches, wd_sched, mom_sched, steps, freeze):
                                   jnp.float32(temp_sched[epoch]),
                                   jnp.float32(mom_sched[t]),
                                   jnp.int32(freeze > epoch))
-        if (t + 1) in CHECKPOINTS:
+        if (t + 1) in checkpoints:
             snapshots[t + 1] = jax.device_get(
                 (state.student, state.teacher, state.center))
     assert np.isfinite(float(metrics["loss"]))
@@ -259,3 +261,40 @@ def test_dino_freeze_ordering_matches_reference():
         np.testing.assert_array_equal(sd_s[k].numpy(), sd0[k].numpy())
 
     _compare(cfg_dict, params0, ours, theirs, (10,))
+
+
+def test_dino_freeze_boundary_matches_reference():
+    """Trajectory parity ACROSS the freeze boundary: torch AdamW skips the
+    moment AND per-param step update for grad-None params
+    (train_dino.py:240-250 sets p.grad = None during the freeze epoch), so
+    after the freeze the last layer's exp_avg/exp_avg_sq start from their
+    pre-freeze values and its bias correction runs at
+    ``global_step - frozen_steps``.  The first post-freeze update (step 11,
+    bias correction 1/(1-β₁) ≈ 10× the late-step magnitude) and the
+    compounded tail (step 30) are both checked leaf-for-leaf."""
+    from models.vit import dino as torch_dino
+
+    torch.manual_seed(2)
+    tm = torch_dino(**DINO_KW)
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if "weight_g" in name:
+                p.normal_(1.0, 0.2)
+    sd0 = copy.deepcopy(tm.state_dict())
+
+    steps = 30  # EPOCH_LEN=10, freeze=1 → steps 0-9 frozen, 10-29 live
+    checkpoints = (10, 11, 30)
+    wd_sched = cosine_schedule(WD, WD_END, steps)
+    mom_sched = cosine_schedule(TEACHER_M, 1.0, steps)
+    batches = _make_batches(seed=7)
+
+    theirs, norms = _torch_trajectory(tm, batches, wd_sched, mom_sched,
+                                      steps, freeze=1,
+                                      checkpoints=checkpoints)
+    assert max(norms) > CLIP, f"clip never engaged (max norm {max(norms):.3f})"
+
+    cfg_dict = {"type": "dino", **DINO_KW}
+    params0, ours = _ours_trajectory(sd0, batches, wd_sched, mom_sched,
+                                     steps, freeze=1,
+                                     checkpoints=checkpoints)
+    _compare(cfg_dict, params0, ours, theirs, checkpoints)

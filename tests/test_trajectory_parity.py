@@ -161,7 +161,9 @@ _TRAJ_TOL = {
 
 
 def _assert_traj_close(ours, ref, init, tag, name, step):
-    atol, rel = _TRAJ_TOL[step][tag]
+    # steps between table entries use the next-larger checkpoint's tolerance
+    key = min(k for k in _TRAJ_TOL if k >= step)
+    atol, rel = _TRAJ_TOL[key][tag]
     a, b = np.asarray(ours), np.asarray(ref)
     disp = np.abs(b - np.asarray(init)).max()
     diff = np.abs(a - b).max()

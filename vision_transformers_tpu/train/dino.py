@@ -39,7 +39,7 @@ from ..parallel import mesh as meshlib
 from ..utils import preempt
 from ..utils.logging import get_logger, is_primary
 from . import loss as L
-from .optim import make_optimizer
+from .optim import AdamW, make_optimizer, wd_mask
 from .schedule import cosine_schedule, make_schedule
 
 __all__ = ["train_dino", "make_dino_train_step", "DINOTrainState"]
@@ -51,6 +51,12 @@ class DINOTrainState(struct.PyTreeNode):
     teacher: Any
     opt_state: Any
     center: jax.Array
+    # number of optimizer steps taken while the last layer was frozen; torch
+    # AdamW's per-param ``state["step"]`` for the frozen params lags the
+    # global count by exactly this (grad-None params are skipped entirely,
+    # reference train_dino.py:240-250 + torch.optim.AdamW)
+    frozen_steps: jax.Array = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 def _last_layer_mask(params):
@@ -62,6 +68,24 @@ def _last_layer_mask(params):
         return "last_v" in name or "last_g" in name
 
     return jax.tree_util.tree_map_with_path(check, params)
+
+
+def _is_last_layer_path(path) -> bool:
+    name = "/".join(str(getattr(k, "key", k)) for k in path).lower()
+    return "last_v" in name or "last_g" in name
+
+
+def _find_adam_state(state):
+    """Locate the ``ScaleByAdamState`` inside an arbitrarily nested optax
+    chain state (the chain layout depends on which of AGC/clip are enabled)."""
+    if isinstance(state, optax.ScaleByAdamState):
+        return state
+    if isinstance(state, (tuple, list)):
+        for s in state:
+            r = _find_adam_state(s)
+            if r is not None:
+                return r
+    return None
 
 
 def make_dino_train_step(training, student_model, teacher_model,
@@ -81,6 +105,8 @@ def make_dino_train_step(training, student_model, teacher_model,
     tx = make_optimizer(training, student_params, lr_schedule,
                         weight_decay=wd_fn)
     last_mask = _last_layer_mask(student_params)
+    decay_mask = wd_mask(student_params, training.wd_skip)
+    adam_conf = training.optimizer if isinstance(training.optimizer, AdamW) else None
     grad_accum = training.grad_accumulation
 
     def one_microbatch(student_params, teacher_params, center, crops_mb,
@@ -141,19 +167,54 @@ def make_dino_train_step(training, student_model, teacher_model,
         # conf optimizer stack: AGC → clip → optimizer + scheduled wd
         # (reference train_dino.py:240-253)
         updates, opt_state = tx.update(grads, state.opt_state, state.student)
+        frozen_now = freeze > 0
 
-        # last-layer freeze: zero the UPDATES during freeze epochs.  The
-        # reference cancels (p.grad = None) AFTER clipping
-        # (train_dino.py:240-250), so the clip norm INCLUDES the last-layer
-        # grads and the frozen params get neither grad step nor weight decay
-        # — both reproduced here.  Residual deviation: torch AdamW also
-        # skips the moment/step update for grad-None params, while these
-        # moments advance during the freeze; inert in the recipe (the freeze
-        # epoch coincides with the ~0-lr warmup start).
+        # last-layer freeze, exact torch semantics.  The reference cancels
+        # (p.grad = None) AFTER clipping (train_dino.py:240-250), so the clip
+        # norm INCLUDES the last-layer grads while the frozen params get
+        # neither grad step nor weight decay; torch AdamW additionally skips
+        # the moment AND per-param step update for grad-None params.  All
+        # three are reproduced: (1) updates zeroed during the freeze,
+        # (2) the last layer's optimizer-state leaves restored to their
+        # pre-step values during the freeze, (3) after the freeze, the AdamW
+        # bias correction for the last layer recomputed at the torch
+        # per-param step ``global_count - frozen_steps`` (torch's state
+        # ``step`` never advanced while the grad was None).
+        if adam_conf is not None:
+            adam_prev = _find_adam_state(state.opt_state)
+            adam_new = _find_adam_state(opt_state)
+            b1, b2 = adam_conf.betas
+            t_eff = jnp.maximum(adam_new.count - state.frozen_steps, 1)
+            lr_now = lr_schedule(adam_prev.count)
+            wd_now = wd_fn(adam_prev.count)
+
+            def repair(u, mu, nu, p, is_last, decays):
+                if not is_last:
+                    return u
+                mu_hat = mu / (1 - b1 ** t_eff)
+                nu_hat = nu / (1 - b2 ** t_eff)
+                fixed = mu_hat / (jnp.sqrt(nu_hat) + adam_conf.eps)
+                if decays:
+                    fixed = fixed + wd_now * p.astype(fixed.dtype)
+                fixed = fixed * -lr_now
+                # never-frozen runs keep the untouched optax update bit-exact
+                return jnp.where(state.frozen_steps > 0, fixed, u)
+
+            updates = jax.tree.map(repair, updates, adam_new.mu, adam_new.nu,
+                                   state.student, last_mask, decay_mask)
+
         updates = jax.tree.map(
-            lambda u, is_last: u * jnp.where(is_last & (freeze > 0), 0.0, 1.0),
+            lambda u, is_last: u * jnp.where(is_last & frozen_now, 0.0, 1.0),
             updates, last_mask,
         )
+
+        def restore_frozen(path, old, new):
+            if _is_last_layer_path(path):
+                return jnp.where(frozen_now, old, new)
+            return new
+
+        opt_state = jax.tree_util.tree_map_with_path(
+            restore_frozen, state.opt_state, opt_state)
         new_student = optax.apply_updates(state.student, updates)
 
         # teacher EMA (reference :257-261)
@@ -166,6 +227,7 @@ def make_dino_train_step(training, student_model, teacher_model,
         return state.replace(
             step=state.step + 1, student=new_student, teacher=new_teacher,
             opt_state=opt_state, center=new_center,
+            frozen_steps=state.frozen_steps + frozen_now.astype(jnp.int32),
         ), metrics
 
     return tx, train_step
