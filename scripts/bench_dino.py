@@ -20,7 +20,9 @@ import numpy as np
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    # default = the measured throughput peak (PERF.md round 4: 869.8
+    # img/s/chip at 192; 853 at 128, 790.9 at 256)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 192
     from vision_transformers_tpu.config.schema import load_config
 
     conf = load_config(
