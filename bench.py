@@ -14,6 +14,8 @@ reference repo itself publishes no throughput numbers — SURVEY §6).
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -99,17 +101,29 @@ def sweep(model_conf, batch_sweep) -> float:
     return per_chip
 
 
+def dino_sweep() -> float:
+    """DINO DeiT-S/16 full distillation-step throughput at the measured
+    batch peak (192/chip, PERF.md round 4) — the third headline recipe,
+    tracked so the driver catches its regressions like Swin's."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    import bench_dino
+    return float(bench_dino.measure(192)["img_per_sec_per_chip"])
+
+
 def main() -> None:
     # per-chip batches: 16/chip matches DeiT's global 1024 on a v5e-64;
     # small batches keep layer activations VMEM-resident on v5e (PERF.md)
     vit = sweep(VIT_S16, [16, 64, 256])
     swin = sweep(SWIN_S, [64, 128])
+    dino = dino_sweep()
     print(json.dumps({
         "metric": "vit_s16_train_images_per_sec_per_chip",
         "value": round(vit, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vit / A100_BASELINE_IMG_PER_SEC, 3),
-        "extra": {"swin_s_train_images_per_sec_per_chip": round(swin, 2)},
+        "extra": {"swin_s_train_images_per_sec_per_chip": round(swin, 2),
+                  "dino_deit_s16_train_images_per_sec_per_chip": round(dino, 2)},
     }))
 
 

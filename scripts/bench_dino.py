@@ -3,8 +3,12 @@
 
 2×224² global + 8×96² local crops per image; the step includes teacher fwd,
 student fwd on all crops, DINO loss + center EMA, AdamW + clip, teacher EMA
-(reference train_dino.py:218-286).  Round-1 measured 760 img/s/chip at
-32/chip; round 2 re-measures with the auto-fused attention dispatch.
+(reference train_dino.py:218-286).  The no-arg default batch is 192/chip —
+the measured throughput peak of the round-4 batch sweep (869.8 img/s/chip at
+192; 853 at 128, 790.9 at 256).  NOTE: 192/chip is a v5e-sized working set
+(≈6× the activation memory and compile time of the early-round default);
+on smaller-HBM devices or CPU smoke runs pass an explicit small batch —
+``python scripts/bench_dino.py 32`` remains the safe small-device value.
 """
 
 import json
@@ -19,10 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
-    # default = the measured throughput peak (PERF.md round 4: 869.8
-    # img/s/chip at 192; 853 at 128, 790.9 at 256)
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+def measure(batch, extra_overrides=()):
+    """Full DINO distillation-step throughput at ``batch``/chip; returns the
+    result dict (also used by the repo-root bench.py for its ``extra``)."""
     from vision_transformers_tpu.config.schema import load_config
 
     conf = load_config(
@@ -32,7 +35,7 @@ def main():
             "training.epoch=1", f"training.dataloader.batch_size={batch}",
             "data_backend=synthetic", "dataset_path=/none",
             "checker.storage=[]",
-            *sys.argv[2:],  # extra key=value overrides for ablations
+            *extra_overrides,  # extra key=value overrides for ablations
         ])
     # time the jitted step directly (same pattern as train_dino)
     from vision_transformers_tpu.parallel import mesh as meshlib
@@ -130,9 +133,9 @@ def main():
             _ = float(loss)
             best = min(best, time.perf_counter() - t0 - rt)
         ips = batch * n_iter / best
-        print(json.dumps({"dino_batch_per_chip": batch,
-                          "ms_per_step": round(best / n_iter * 1000, 2),
-                          "img_per_sec_per_chip": round(ips, 1)}))
+        result = {"dino_batch_per_chip": batch,
+                  "ms_per_step": round(best / n_iter * 1000, 2),
+                  "img_per_sec_per_chip": round(ips, 1)}
 
         if os.environ.get("VTX_PROFILE"):
             outdir = os.environ["VTX_PROFILE"]
@@ -142,6 +145,14 @@ def main():
                     state, loss = step_jit(state, crops, rng, *args)
                 _ = float(loss)
             print("profile written to", outdir)
+    return result
+
+
+def main():
+    # default = the measured throughput peak (PERF.md round 4); pass an
+    # explicit batch (e.g. 32) for small devices / smoke runs
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    print(json.dumps(measure(batch, sys.argv[2:])))
 
 
 if __name__ == "__main__":
