@@ -130,7 +130,7 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, ln=None, row_scale=None,
-                 ff=None):
+                 ff=None, map_kernel: bool = False):
         """``ln=(scale, bias, eps)`` switches to the fused layer-half kernel
         and returns the FULL residual branch ``x + row_scale ⊙ Attn(LN(x))``
         computed in one Pallas program per window group (ops/fused_layer.py);
@@ -204,6 +204,34 @@ class WindowAttention(nn.Module):
             if pack > 1:
                 pm[:, :, w2:, w2:] = m[:, :, 1]
             return pm.reshape(groups, m_tok, m_tok)
+
+        if ln is not None and ff is not None and map_kernel:
+            # map-resident whole-layer kernel (ops/fused_swin.py): the roll,
+            # the window-pair partition and BOTH residual branches run inside
+            # ONE Pallas program per layer — x never leaves its [b,H,W,C]
+            # layout, killing the per-layer roll/partition/unpartition HBM
+            # round-trips (PERF.md round 4: 15.5 ms/step of movement).  The
+            # kernel's token order is layout-native, so the static bias/mask
+            # slabs are permuted once at trace time.
+            g_ln, b_ln, eps = ln
+            g2, b2, w1f, b1f, w2f, b2f, act, rs_ff = ff
+            perm = _ops.swin_token_perm(window, pack)
+            slab = packed_slab()[:, perm][:, :, perm]  # [head, m, m]
+            if self.shift:
+                mask = packed_shift_mask()[:, None]  # np [G, 1, m, m]
+                mask = mask[:, :, perm][:, :, :, perm]
+                extra = slab[None] + jnp.asarray(mask)  # [G, head, m, m]
+            else:
+                extra = slab[None]  # [1, head, m, m] — broadcast group
+            return _ops.fused_swin_layer(
+                x, g_ln, b_ln, wqkv.astype(self.dtype),
+                bqkv.astype(self.dtype), wout.astype(self.dtype),
+                bout.astype(self.dtype), g2, b2,
+                w1f.astype(self.dtype), b1f.astype(self.dtype),
+                w2f.astype(self.dtype), b2f.astype(self.dtype),
+                self.n_head, extra, row_scale, rs_ff, act,
+                window=window, shift=self.shift, pack=pack, scale=scale,
+                eps=eps)
 
         if self.shift:
             x = jnp.roll(x, (-roll, -roll), (1, 2))
@@ -345,9 +373,18 @@ class SwinLayer(nn.Module):
         # layer1 loses ~9% there, see ops/fused_layer1.py)
         impl = _ops.attention_impl(
             b, seq=self.window_size ** 2, default="layer1")
-        use_layer = impl in ("layer", "layer1") \
+        use_layer = impl in ("layer", "layer1", "swin") \
             and (deterministic or (self.drop_attn == 0.0 and
                                    self.drop_ff == 0.0))
+        if use_layer and impl == "swin":
+            # map-resident whole-layer kernel: shift + partition + both
+            # residual branches in one custom call (ops/fused_swin.py)
+            w1f, b1f, w2f, b2f = ff(x, return_params=True)
+            return attn(x, deterministic, ln=(g1, b1, _LN_EPS),
+                        row_scale=self._row_scale(b, deterministic),
+                        ff=(g2, b2, w1f, b1f, w2f, b2f, "silu",
+                            self._row_scale(b, deterministic)),
+                        map_kernel=True)
         if use_layer and impl == "layer1":
             # whole layer (both residual branches) as ONE custom call inside
             # the window partition (ops/fused_layer1.py)

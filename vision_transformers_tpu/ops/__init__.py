@@ -34,6 +34,8 @@ from . import fused_block as fused_block_mod  # noqa: F401
 from . import fused_halo as fused_halo_mod  # noqa: F401
 from . import fused_layer as fused_layer_mod  # noqa: F401
 from . import fused_layer1 as fused_layer1_mod  # noqa: F401
+from . import fused_swin as fused_swin_mod  # noqa: F401
+from .fused_swin import swin_token_perm  # noqa: F401
 
 _FORCED: Optional[str] = None
 _INTERPRET: bool = False
@@ -88,7 +90,8 @@ def set_attention_impl(impl: Optional[str], interpret: bool = False) -> None:
     None = measurement-driven auto.  ``interpret`` runs the Pallas kernels
     in interpret mode (CPU testing)."""
     global _FORCED, _INTERPRET
-    assert impl in (None, "einsum", "fused", "block", "layer", "layer1"), impl
+    assert impl in (None, "einsum", "fused", "block", "layer", "layer1",
+                    "swin"), impl
     _FORCED = impl
     _INTERPRET = interpret
 
@@ -134,6 +137,19 @@ def fused_transformer_layer(x, ln1_scale, ln1_bias, wqkv, bqkv, wout, bout,
         x, ln1_scale, ln1_bias, wqkv, bqkv, wout, bout, ln2_scale, ln2_bias,
         w1, b1, w2, b2, n_head, extra, rs_attn, rs_ff, activation, scale,
         eps, _INTERPRET)
+
+
+def fused_swin_layer(x, ln1_scale, ln1_bias, wqkv, bqkv, wout, bout,
+                     ln2_scale, ln2_bias, w1, b1, w2, b2, n_head, extra,
+                     rs_attn=None, rs_ff=None, activation="silu", *,
+                     window, shift, pack=1, scale=None, eps=1e-6):
+    """Whole Swin layer — shift + window partition + both residual branches
+    + unpartition — as ONE map-resident custom call (see ops/fused_swin.py)."""
+    return fused_swin_mod.fused_swin_layer(
+        x, ln1_scale, ln1_bias, wqkv, bqkv, wout, bout, ln2_scale, ln2_bias,
+        w1, b1, w2, b2, n_head, extra, rs_attn, rs_ff, activation,
+        window=window, shift=shift, pack=pack, scale=scale, eps=eps,
+        interpret=_INTERPRET)
 
 
 def fused_ff_layer(x, ln_scale, ln_bias, w1, b1, w2, b2, activation="silu",
@@ -240,7 +256,7 @@ def attention_impl(batch: Optional[int] = None, seq: Optional[int] = None,
     if _FORCED is not None:
         return _FORCED
     env = os.environ.get("VTX_ATTN_IMPL")
-    if env in ("einsum", "fused", "block", "layer", "layer1"):
+    if env in ("einsum", "fused", "block", "layer", "layer1", "swin"):
         return env
     env = os.environ.get("VTX_FUSED_ATTENTION")
     if env is not None:
