@@ -120,6 +120,74 @@ def k_noloop2(x_ref, g_ref, b_ref, wqkv_ref, wout_ref, o_ref):
     jax.lax.fori_loop(0, BC // 2, body, 0)
 
 
+def k_noloop4(x_ref, g_ref, b_ref, wqkv_ref, wout_ref, o_ref):
+    def body(jj, _):
+        for off in range(4):
+            j = jj * 4 + off
+            xj = x_ref[j]
+            u = _ln(xj.astype(jnp.float32), g_ref[0], b_ref[0]).astype(x_ref.dtype)
+            qkv = jax.lax.dot_general(u, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32
+                                      ).astype(x_ref.dtype)
+            acc = _row_attn(qkv, None, x_ref.dtype)
+            a = jax.lax.dot_general(acc, wout_ref[...], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32
+                                    ).astype(x_ref.dtype)
+            o_ref[j] = xj + a
+        return _
+    jax.lax.fori_loop(0, BC // 4, body, 0)
+
+
+def k_blockdiag(x_ref, g_ref, b_ref, wqkv_ref, wout_ref, o_ref):
+    """Lane-axis head merge: ONE score dot s_all[98, 3·104] = q_cat·K_blkᵀ
+    (q_cat is the native [98, 96] qkv slice; K_blk is block-diagonal so
+    cross-head contraction terms hit zeros) and ONE av dot
+    acc = p_cat·V_blk [98, 96] (V_blk block-diagonal per head) — per-head
+    outputs land lane-concatenated with zero reorders.  Pass count is
+    flop-invariant vs the per-head chain; this measures whether fewer,
+    wider dot INSTRUCTIONS amortize issue/weight-load latency."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    subl = jax.lax.broadcasted_iota(jnp.int32, (H * PAD, 1), 0)
+    padmask = jnp.where(subl % PAD < N, 0.0, -1e30).astype(jnp.float32)
+
+    def body(j, _):
+        xj = x_ref[j]
+        u = _ln(xj.astype(jnp.float32), g_ref[0], b_ref[0]).astype(x_ref.dtype)
+        qkv = jax.lax.dot_general(u, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32
+                                  ).astype(x_ref.dtype)
+        q, k, v = qkv[:, :HD], qkv[:, HD:2 * HD], qkv[:, 2 * HD:]
+
+        def stack(t):
+            t_pad = jnp.pad(t, ((0, PAD - N), (0, 0)))
+            pieces = []
+            for h in range(H):
+                m = ((lane >= h * D) & (lane < (h + 1) * D)).astype(t.dtype)
+                pieces.append(t_pad * m)
+            return jnp.concatenate(pieces, axis=0)  # [H·PAD, C] block-diag
+
+        k_blk = stack(k)
+        v_blk = stack(v)
+        # s_all[i, h·PAD+j] = q_i(head h) · k_j(head h): zeros kill cross terms
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * SCALE + padmask.reshape(1, H * PAD)      # [N, H·PAD]
+        s3 = s.reshape(N, H, PAD)
+        m3 = jnp.max(s3, axis=2, keepdims=True)
+        p3 = jnp.exp(s3 - m3)
+        p3 = p3 / jnp.sum(p3, axis=2, keepdims=True)
+        p_cat = p3.reshape(N, H * PAD).astype(x_ref.dtype)
+        acc = jax.lax.dot_general(p_cat, v_blk, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32
+                                  ).astype(x_ref.dtype)  # [N, C]
+        a = jax.lax.dot_general(acc, wout_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32
+                                ).astype(x_ref.dtype)
+        o_ref[j] = xj + a
+        return _
+    jax.lax.fori_loop(0, BC, body, 0)
+
+
 PAD = 104  # per-head key section, 8-aligned (98 -> 104)
 
 
@@ -214,16 +282,23 @@ def main():
     wout = jnp.asarray(rng.normal(size=(HD, C)) * 0.05, DT)
     kernels = {"full": k_full, "projonly": k_projonly,
                "attnonly": k_attnonly, "noloop2": k_noloop2,
-               "headstack": k_headstack}
+               "noloop4": k_noloop4, "headstack": k_headstack,
+               "blockdiag": k_blockdiag}
     outs = {}
     for name in variants:
         fn = jax.jit(lambda x, g, b, w1, w2, k=kernels[name]: _pc(k)(x, g, b, w1, w2))
         ms = timeit(fn, x, g, b, wqkv, wout)
         outs[name] = fn(x, g, b, wqkv, wout)
         gf = {"full": 44.6, "projonly": 29.6, "attnonly": 15.1,
-              "noloop2": 44.6, "headstack": 44.6}[name]
+              "noloop2": 44.6, "noloop4": 44.6, "headstack": 44.6,
+              "blockdiag": 44.6}[name]
         print(f"{name:10s} {ms:7.2f} ms   ~{gf / ms:6.1f} TF/s", flush=True)
-    if "full" in outs and "headstack" in outs:
+    for other in ("headstack", "blockdiag"):
+        if "full" in outs and other in outs:
+            d = jnp.max(jnp.abs(outs["full"].astype(jnp.float32)
+                                - outs[other].astype(jnp.float32)))
+            print(f"{other} max|diff| vs full: {float(d):.5f}", flush=True)
+    if False and "full" in outs and "headstack" in outs:
         d = jnp.max(jnp.abs(outs["full"].astype(jnp.float32)
                             - outs["headstack"].astype(jnp.float32)))
         print(f"headstack max|diff| vs full: {float(d):.5f}", flush=True)

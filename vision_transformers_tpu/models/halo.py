@@ -33,7 +33,9 @@ import numpy as np
 from flax import linen as nn
 
 from ..config.registry import TypedConfig, register
-from .layers import FeedForward, drop_path as drop_path_fn, trunc_normal_init, tuple2
+from .layers import (DenseParams, FeedForward, LayerNormParams,
+                     dense_apply, drop_path as drop_path_fn,
+                     layer_norm_apply, trunc_normal_init, tuple2)
 from .swin import PatchEmbedding
 
 Dtype = Any
@@ -97,7 +99,12 @@ class HaloAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, ln=None,
+                 row_scale=None, ff=None):
+        """``ln=(scale, bias, eps)`` + ``ff=(g2, b2, w1, b1, w2, b2, act,
+        rs_ff)`` switches to the whole-layer kernel (ops/fused_halo_layer.py):
+        x is then the PRE-LN layer input and the return value is the full
+        layer output (both residual branches applied)."""
         b, h, w, dim = x.shape
         window, halo = self.window_size, self.halo_size
         hs, ws = h // window, w // window
@@ -105,9 +112,14 @@ class HaloAttention(nn.Module):
         inner = self.n_head * self.dim_head
         k_size = window + 2 * halo
 
-        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
-                       kernel_init=trunc_normal_init(0.02), name="weight")(x)
-        q, kv = qkv[..., :inner], qkv[..., inner:]
+        # raw Dense params (same {weight,linear}/{kernel,bias} tree as
+        # nn.Dense) so the fused layer kernel can take the weights
+        # VMEM-resident (reference projections: halo_transformer.py:66-70)
+        wqkv, _ = DenseParams(inner * 3, use_bias=False,
+                              kernel_init=trunc_normal_init(0.02),
+                              name="weight")(dim)
+        wout, bout = DenseParams(dim, kernel_init=trunc_normal_init(0.02),
+                                 name="linear")(inner)
 
         pos, max_pos = halo_position_index(window, halo)
         table = self.param("rel_pos", nn.initializers.zeros,
@@ -117,7 +129,24 @@ class HaloAttention(nn.Module):
         from .. import ops as _ops
 
         scale = 1.0 / math.sqrt(self.dim_head)
+        if ln is not None and ff is not None:
+            # whole-layer map-resident kernel: LN₁ + qkv proj + halo
+            # attention + out proj + residual + LN₂ + FF + residual in one
+            # custom call (ops/fused_halo_layer.py)
+            g1, b1, eps = ln
+            g2, b2, w1f, b1f, w2f, b2f, act, rs_ff = ff
+            return _ops.fused_halo_layer(
+                x, g1, b1, wqkv, wout, bout, g2, b2, w1f, b1f, w2f, b2f,
+                bias.transpose(2, 0, 1), self.n_head, rs_attn=row_scale,
+                rs_ff=rs_ff, activation=act, window=window, halo=halo,
+                scale=scale, eps=eps)
+
+        qkv = dense_apply(x, wqkv, None, self.dtype)
+        q, kv = qkv[..., :inner], qkv[..., inner:]
+
         impl = _ops.halo_impl(window, halo)
+        if impl == "layer":
+            impl = "direct"  # layer kernel is dispatched at the layer level
         if impl != "einsum" and not (deterministic or self.dropout == 0.0):
             impl = "einsum"  # attention dropout needs materialized probs
         if impl == "direct":
@@ -127,9 +156,7 @@ class HaloAttention(nn.Module):
             out = _ops.halo_attention_direct(
                 q, kv, bias.transpose(2, 0, 1), window, halo, self.n_head,
                 scale)
-            return nn.Dense(dim, dtype=self.dtype,
-                            kernel_init=trunc_normal_init(0.02),
-                            name="linear")(out)
+            return dense_apply(out, wout, bout, self.dtype)
         if impl == "gather":
             # gather + rectangular kernel: queries window-partitioned with
             # heads left on lanes; kv neighborhoods consumed EXACTLY as the
@@ -144,9 +171,7 @@ class HaloAttention(nn.Module):
                                       self.n_head, scale)
             out = out.reshape(b, hs, ws, window, window, inner)
             out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, inner)
-            return nn.Dense(dim, dtype=self.dtype,
-                            kernel_init=trunc_normal_init(0.02),
-                            name="linear")(out)
+            return dense_apply(out, wout, bout, self.dtype)
 
         # queries: non-overlapping windows → [b, head, S, w², d]
         q = q.reshape(b, hs, window, ws, window, self.n_head, self.dim_head)
@@ -170,8 +195,7 @@ class HaloAttention(nn.Module):
 
         out = jnp.einsum("bhsqk,bhskd->bhsqd", attn, value)
         out = out.transpose(0, 2, 3, 1, 4).reshape(b, n_win, window * window, inner)
-        out = nn.Dense(dim, dtype=self.dtype,
-                       kernel_init=trunc_normal_init(0.02), name="linear")(out)
+        out = dense_apply(out, wout, bout, self.dtype)
         out = out.reshape(b, hs, ws, window, window, dim)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, dim)
         return out
@@ -190,21 +214,52 @@ class HaloLayer(nn.Module):
     drop_path: float = 0.0
     dtype: Dtype = jnp.float32
 
+    def _row_scale(self, b: int, deterministic: bool):
+        """Per-sample DropPath scale (mask/keep — the reference Halo layer
+        uses the rescaling DropPath, layer.py:166-183) for the fused layer
+        kernel."""
+        if deterministic or self.drop_path == 0.0:
+            return None
+        keep = 1.0 - self.drop_path
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (b,))
+        return mask.astype(jnp.float32) / keep
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from .. import ops as _ops
+
         def dp(y):
             if deterministic or self.drop_path == 0.0:
                 return y
             return drop_path_fn(y, self.drop_path, self.make_rng("dropout"), False)
 
-        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_attn")(x)
-        h = HaloAttention(self.n_head, self.dim_head, self.window_size, self.halo_size,
-                          self.drop_attn, dtype=self.dtype, name="attn")(h, deterministic)
+        b, _, _, dim = x.shape
+        g1, b1 = LayerNormParams(name="norm_attn")(dim)
+        g2, b2 = LayerNormParams(name="norm_ff")(dim)
+        attn = HaloAttention(self.n_head, self.dim_head, self.window_size,
+                             self.halo_size, self.drop_attn,
+                             dtype=self.dtype, name="attn")
+        ff = FeedForward(dim=self.dim_ff, activation=jax.nn.silu,
+                         dropout=self.drop_ff, dtype=self.dtype, name="ff")
+
+        impl = _ops.halo_impl(self.window_size, self.halo_size)
+        use_layer = impl == "layer" and (
+            deterministic or (self.drop_attn == 0.0 and self.drop_ff == 0.0))
+        if use_layer:
+            # whole layer (both residual branches, window machinery, LNs,
+            # projections) as ONE custom call (ops/fused_halo_layer.py)
+            w1f, b1f, w2f, b2f = ff(x, return_params=True)
+            return attn(x, deterministic, ln=(g1, b1, _LN_EPS),
+                        row_scale=self._row_scale(b, deterministic),
+                        ff=(g2, b2, w1f, b1f, w2f, b2f, "silu",
+                            self._row_scale(b, deterministic)))
+
+        h = layer_norm_apply(x, g1, b1, _LN_EPS, self.dtype)
+        h = attn(h, deterministic)
         x = x + dp(h)
 
-        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm_ff")(x)
-        h = FeedForward(dim=self.dim_ff, activation=jax.nn.silu, dropout=self.drop_ff,
-                        dtype=self.dtype, name="ff")(h, deterministic)
+        h = layer_norm_apply(x, g2, b2, _LN_EPS, self.dtype)
+        h = ff(h, deterministic)
         return x + dp(h)
 
 

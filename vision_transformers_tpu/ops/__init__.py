@@ -32,6 +32,7 @@ from typing import Optional
 from . import fused_attention as fused_attention_mod  # noqa: F401
 from . import fused_block as fused_block_mod  # noqa: F401
 from . import fused_halo as fused_halo_mod  # noqa: F401
+from . import fused_halo_layer as fused_halo_layer_mod  # noqa: F401
 from . import fused_layer as fused_layer_mod  # noqa: F401
 from . import fused_layer1 as fused_layer1_mod  # noqa: F401
 from . import fused_swin as fused_swin_mod  # noqa: F401
@@ -176,12 +177,30 @@ def halo_attention_direct(q, kv, bias, window, halo, n_head, scale=None):
                                                 n_head, scale, _INTERPRET)
 
 
+def fused_halo_layer(x, ln1_scale, ln1_bias, wqkv, wout, bout, ln2_scale,
+                     ln2_bias, w1, b1, w2, b2, bias, n_head, rs_attn=None,
+                     rs_ff=None, activation="silu", *, window, halo,
+                     scale=None, eps=1e-6):
+    """Whole Halo layer — LN₁ + qkv proj + halo attention + out proj +
+    residual + LN₂ + FF + residual — as ONE map-resident custom call
+    (see ops/fused_halo_layer.py)."""
+    return fused_halo_layer_mod.fused_halo_layer(
+        x, ln1_scale, ln1_bias, wqkv, wout, bout, ln2_scale, ln2_bias,
+        w1, b1, w2, b2, bias, n_head, rs_attn, rs_ff, activation,
+        window=window, halo=halo, scale=scale, eps=eps,
+        interpret=_INTERPRET)
+
+
 def halo_impl(window: int = 8, halo: int = 1) -> str:
-    """Implementation decision for HaloAttention: "direct" (map-resident
-    kernel, the measured default) | "gather" (gather + rectangular kernel)
-    | "einsum".  Honors the global impl force and ``VTX_HALO_IMPL``."""
+    """Implementation decision for HaloAttention: "layer" (whole-layer
+    map-resident kernel) | "direct" (map-resident attention kernel) |
+    "gather" (gather + rectangular kernel) | "einsum".  Honors the global
+    impl force and ``VTX_HALO_IMPL``."""
     env = os.environ.get("VTX_HALO_IMPL")
-    if env in ("direct", "gather", "einsum"):
+    if env in ("layer", "direct", "gather", "einsum"):
+        if env == "layer" and not (2 * halo <= window
+                                   and (window % 8 == 0 or _INTERPRET)):
+            return "gather"  # layer kernel has direct's fold/alignment needs
         return env
     if _FORCED == "einsum":
         return "einsum"

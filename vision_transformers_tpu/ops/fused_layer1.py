@@ -71,6 +71,16 @@ def _cp(interpret):
         vmem_limit_bytes=_l1_vmem_mb() * 1024 * 1024)
 
 
+def _l1_unroll() -> int:
+    """Row-loop unroll factor (VTX_L1_UNROLL).  The round-3 dissection
+    measured the 2-row-interleaved loop at 4.59 vs 5.30 ms fwd on the Swin
+    stage-1 shape (exp_kernel_dissect.py `noloop2` — independent rows give
+    the scheduler MXU passes to overlap); the full-step A/B decides the
+    shipped default."""
+    env = os.environ.get("VTX_L1_UNROLL")
+    return max(1, int(env)) if env else 1
+
+
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
@@ -151,7 +161,7 @@ def _l1_fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
         o_ref[j] = z + out
         return _
 
-    jax.lax.fori_loop(0, bc, body, 0)
+    jax.lax.fori_loop(0, bc, body, 0, unroll=_l1_unroll())
 
 
 def _l1_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
@@ -357,7 +367,7 @@ def _l1_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
         dx_ref[j] = dz + dx_ln.astype(x_ref.dtype)
         return _
 
-    jax.lax.fori_loop(0, bc, body, 0)
+    jax.lax.fori_loop(0, bc, body, 0, unroll=_l1_unroll())
 
 
 # ---------------------------------------------------------------------------

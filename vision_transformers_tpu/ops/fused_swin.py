@@ -1,34 +1,32 @@
 """Map-resident Swin layer kernel — the whole pre-LN transformer layer AND
-the window machinery (cyclic shift + window-pair partition + unpartition) in
-ONE Pallas program per layer (reference hot path: models/swin_transformer.py
-:103-160 plus the roll/partition at :110-130).
+the window-pair partition/unpartition in ONE Pallas program per layer
+(reference hot path: models/swin_transformer.py:103-160 plus the partition
+at :116-130).
 
 Motivation (PERF.md round 4): at the layer1 shipped default the Swin-S step
-still pays **15.5 ms/step of movement** — the ``jnp.roll`` copies and the
-window partition/unpartition reshape-transposes that XLA materializes around
-every one of the 24 layers' custom calls.  The halo direct-map kernel
-(ops/fused_halo.py) proved Mosaic handles windowing straight off the
-``[b, H, W, C]`` feature map; this kernel applies the same design to Swin:
+still pays **15.5 ms/step of movement** — the window partition/unpartition
+reshape-transposes (and the ``jnp.roll`` copies) XLA materializes around
+every one of the 24 layers' custom calls.  This kernel consumes the feature
+map in its canonical NHWC layout:
 
-- x stays in HBM in canonical NHWC map layout; every layer reads and writes
-  that SAME layout — zero XLA movement between layers
-- the grid is ``(B/bc, hs)``: each step holds ``bc`` full feature maps in
-  VMEM (revisited across the row-band dimension, so each map is fetched
-  once) and processes one window-row band per item
-- the cyclic shift becomes *index arithmetic*: band ``wy`` of the rolled
-  image is two contiguous row slices of the original map
-  (``[wy·w+roll, (wy+1)·w)`` and ``[(wy+1)·w mod H, +roll)`` — only the last
-  band wraps) via ``pl.ds`` on the untiled row dim, plus one in-VMEM column
-  rotation; the inverse on the output write
-- window-PAIR tokens are formed by an in-VMEM slice+reshape of the band —
-  the sublane compaction happens at VPU speed instead of as HBM round-trips
+- the grid is ``(B/bc, hs)``; each step's x/o blocks are WINDOW-ROW BANDS
+  ``[bc, w, W, C]`` — every band is fetched and written exactly once, so
+  the layer's HBM traffic is one map read + one map write (+ saves)
+- window-PAIR tokens are formed by an in-VMEM slice+reshape of the band;
+  the sublane compaction runs at VPU speed instead of as HBM round-trips
+  (microbenchmarked: band → 4 pair extractions + inverse ≈ 2.1 ms for a
+  [128,56,56,96] map — vs ~0.5 ms/copy × 2 copies/layer on the XLA path)
+- the cyclic shift stays OUTSIDE the custom call as a plain ``jnp.roll``
+  (two fused slices+concat, ONE map copy each way, shifted layers only) —
+  an in-kernel two-piece wrap assembly was measured catastrophically slow
+  (Mosaic lowers concat-of-dynamic-ref-slices through a scalar path)
 
 Token order inside a pair is LAYOUT-NATIVE — ``t = row·(pack·w) + col``
 across the pair's columns — i.e. the order the band reshape produces, NOT
 the (window, row, col) order of the partition transpose.  Attention is
 permutation-equivariant given a consistently permuted bias, so the model
 permutes the static rel-pos/mask slabs once at trace time
-(``swin_token_perm``) and the kernel never moves a token.
+(``swin_token_perm``) and the kernel never reorders a token.
 
 The per-pair compute body (LN₁ → qkv → per-head chain → out proj → residual
 → LN₂ → FF → residual), the f32 numerics, the DropPath row scales and the
@@ -54,7 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_attention import _env_bc
 from .fused_block import _head_slices
 from .fused_layer import _BF16_P, _act_bwd, _act_fwd, _ln_bwd, _ln_fwd
-from .fused_layer1 import _save_mode
+from .fused_layer1 import _l1_unroll, _save_mode
 
 __all__ = ["fused_swin_layer", "swin_token_perm"]
 
@@ -88,42 +86,6 @@ def _cp(interpret):
 
 
 # ---------------------------------------------------------------------------
-# in-kernel band assembly
-# ---------------------------------------------------------------------------
-
-
-def _read_band(ref, j, wy, *, window, roll, H, shift):
-    """Assemble the [w, W, C] row band of the (conceptually) rolled map for
-    window-row ``wy`` from the UNROLLED map ref — two contiguous row slices
-    (the second wraps only at wy = hs-1) plus one column rotation."""
-    w = window
-    if not shift:
-        return ref[j, pl.ds(wy * w, w)]
-    hi = w - roll
-    r0 = wy * w + roll
-    r1 = jax.lax.rem(r0 + hi, H)
-    band = jnp.concatenate(
-        [ref[j, pl.ds(r0, hi)], ref[j, pl.ds(r1, roll)]], axis=0)
-    # column rotation: rolled col c = original col (c + roll) mod W
-    return jnp.concatenate([band[:, roll:], band[:, :roll]], axis=1)
-
-
-def _write_band(ref, j, wy, band, *, window, roll, H, W, shift):
-    """Inverse of :func:`_read_band`: un-rotate columns and scatter the two
-    contiguous row slices back onto the map."""
-    w = window
-    if not shift:
-        ref[j, pl.ds(wy * w, w)] = band
-        return
-    hi = w - roll
-    r0 = wy * w + roll
-    r1 = jax.lax.rem(r0 + hi, H)
-    band = jnp.concatenate([band[:, W - roll:], band[:, :W - roll]], axis=1)
-    ref[j, pl.ds(r0, hi)] = band[:hi]
-    ref[j, pl.ds(r1, roll)] = band[hi:]
-
-
-# ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
 
@@ -132,23 +94,20 @@ def _sw_fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
                    bout_ref, g2_ref, b2_ref, w1_ref, b1f_ref, w2_ref,
                    b2f_ref, extra_ref, rs_ref, o_ref,
                    z_ref=None, acc_ref=None, sqkv_ref=None, *,
-                   scale, eps, bc, n_head, dim_head, act, window, shift,
-                   pack, hs, ws, H, W, grouped, has_bqkv, has_bout, has_b1f,
-                   has_b2f, has_rs, save):
+                   scale, eps, bc, n_head, dim_head, act, window, pack,
+                   wspp, grouped, has_bqkv, has_bout, has_b1f, has_b2f,
+                   has_rs, save):
     HD = n_head * dim_head
     C = x_ref.shape[3]
     w = window
     pw = pack * w
-    wspp = ws // pack
     m = pack * w * w
-    roll = w // 2
-    wy = pl.program_id(1)
     row0 = pl.program_id(0) * bc
     dt = x_ref.dtype
 
     def body(j, _):
         row = row0 + j
-        band = _read_band(x_ref, j, wy, window=w, roll=roll, H=H, shift=shift)
+        band = x_ref[j]  # [w, W, C] — this grid step's window-row band
         obs = []
         for p in range(wspp):
             xp = band if wspp == 1 else band[:, p * pw:(p + 1) * pw, :]
@@ -214,12 +173,10 @@ def _sw_fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
             if has_rs:
                 out = out * rs_ref[row, 1].astype(dt)
             obs.append((z + out).reshape(w, pw, C))
-        ob = obs[0] if wspp == 1 else jnp.concatenate(obs, axis=1)
-        _write_band(o_ref, j, wy, ob, window=w, roll=roll, H=H, W=W,
-                    shift=shift)
+        o_ref[j] = obs[0] if wspp == 1 else jnp.concatenate(obs, axis=1)
         return _
 
-    jax.lax.fori_loop(0, bc, body, 0)
+    jax.lax.fori_loop(0, bc, body, 0, unroll=_l1_unroll())
 
 
 def _sw_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
@@ -229,18 +186,17 @@ def _sw_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
                    dx_ref, dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref,
                    dwout_ref, dbout_ref, dg2_ref, db2_ref, dw1_ref,
                    db1f_ref, dw2_ref, db2f_ref, dextra_ref, drs_ref, *,
-                   scale, eps, bc, n_head, dim_head, act, window, shift,
-                   pack, hs, ws, H, W, grouped, has_bqkv, has_bout, has_b1f,
-                   has_b2f, has_rs, save):
+                   scale, eps, bc, n_head, dim_head, act, window, pack,
+                   wspp, grouped, has_bqkv, has_bout, has_b1f, has_b2f,
+                   has_rs, save):
     HD = n_head * dim_head
     C = x_ref.shape[3]
     w = window
     pw = pack * w
-    wspp = ws // pack
     m = pack * w * w
-    roll = w // 2
     i = pl.program_id(0)
     wy = pl.program_id(1)
+    row0 = i * bc
     dt = x_ref.dtype
 
     @pl.when((i == 0) & (wy == 0))
@@ -260,11 +216,9 @@ def _sw_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
         dextra_ref[...] = jnp.zeros_like(dextra_ref[...])
 
     def body(j, _):
-        row = i * bc + j
-        xband = _read_band(x_ref, j, wy, window=w, roll=roll, H=H,
-                           shift=shift)
-        doband = _read_band(do_ref, j, wy, window=w, roll=roll, H=H,
-                            shift=shift)
+        row = row0 + j
+        xband = x_ref[j]
+        doband = do_ref[j]
         dxbs = []
         drs1_band = jnp.float32(0.0)
         drs2_band = jnp.float32(0.0)
@@ -437,9 +391,7 @@ def _sw_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
             dg1_ref[...] += dg1p
             db1_ref[...] += db1p
             dxbs.append((dz + dx_ln.astype(dt)).reshape(w, pw, C))
-        dxb = dxbs[0] if wspp == 1 else jnp.concatenate(dxbs, axis=1)
-        _write_band(dx_ref, j, wy, dxb, window=w, roll=roll, H=H, W=W,
-                    shift=shift)
+        dx_ref[j] = dxbs[0] if wspp == 1 else jnp.concatenate(dxbs, axis=1)
         if has_rs:
             # per-sample scale grads accumulate across this sample's bands
             base1 = jnp.where(wy == 0, 0.0, drs_ref[row, 0])
@@ -448,7 +400,7 @@ def _sw_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
             drs_ref[row, 1] = base2 + drs2_band
         return _
 
-    jax.lax.fori_loop(0, bc, body, 0)
+    jax.lax.fori_loop(0, bc, body, 0, unroll=_l1_unroll())
 
 
 # ---------------------------------------------------------------------------
@@ -463,20 +415,18 @@ def _pick_bc(B, H, W, C, HD, F, n_head, m, wspp, Ge, itemsize, bwd, save):
         return _env_bc(env, B)
     limit = _sw_vmem_mb() * 1024 * 1024
     welems = C * 3 * HD + HD * C + 2 * C * F
+    # the extra slab block changes per band grid step → double-buffered (2x)
     fixed = welems * (itemsize + (4 if bwd else 0)) \
-        + wspp * n_head * m * m * 4 \
+        + 2 * wspp * n_head * m * m * 4 \
         + (Ge * n_head * m * m * 4 if bwd else 0)
-    # per-pair temporaries (probabilities + FF chain, f32) + assembled bands
-    # (band rows = m·wspp/W = window height)
-    temps = (n_head + 3) * m * m * 4 + 4 * m * F * 4 + 6 * m * C * 4 \
-        + 8 * (m * wspp // max(W, 1) + 1) * W * C * 4
-    # per-item VMEM-resident maps: x (+do in bwd) + out map, revisited
-    # across the band grid, plus this band's save blocks
-    mape = H * W
+    # per-pair temporaries (probabilities + FF chain, f32)
+    temps = (n_head + 3) * m * m * 4 + 4 * m * F * 4 + 6 * m * C * 4
+    # per-item pipelined band blocks (double-buffered, hence the 2x): x
+    # (+do +dx in bwd) + o bands plus this band's save blocks
     band_tokens = m * wspp  # tokens per band = w * W
     saved = 0 if save == "none" else band_tokens * (C + HD) \
         + (band_tokens * 3 * HD if save == "z+acc+qkv" else 0)
-    per_item = ((3 if bwd else 2) * mape * C + saved) * itemsize
+    per_item = 2 * ((3 if bwd else 2) * band_tokens * C + saved) * itemsize
     budget = int(limit * 0.6) - fixed - temps
     cap = max(1, budget // max(per_item, 1))
     best = 1
@@ -526,23 +476,22 @@ def _const4(shape):
     return pl.BlockSpec(shape, lambda i, y: (0, 0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20,
-                                                    21))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20))
 def _swin_layer(x, g1, b1, wqkv, bqkv, wout, bout, g2, b2, w1, b1f, w2, b2f,
-                extra, rs, n_head, act, scale, eps, window, shift_pack,
-                interpret):
+                extra, rs, n_head, act, scale, eps, window, pack_interpret):
     out, _ = _swin_fwd(x, g1, b1, wqkv, bqkv, wout, bout, g2, b2, w1, b1f,
                        w2, b2f, extra, rs, n_head, act, scale, eps, window,
-                       shift_pack, interpret, save="none")
+                       pack_interpret, save="none")
     return out
 
 
 def _swin_fwd(x, g1, b1, wqkv, bqkv, wout, bout, g2, b2, w1, b1f, w2, b2f,
-              extra, rs, n_head, act, scale, eps, window, shift_pack,
-              interpret, save=None):
-    shift, pack = shift_pack
+              extra, rs, n_head, act, scale, eps, window, pack_interpret,
+              save=None):
+    pack, interpret = pack_interpret
     (B, H, W, C, HD, F, hs, ws, wspp, m, Ge, grouped, rs_b,
      has_rs) = _common(x, wqkv, w1, extra, rs, pack, window)
+    w = window
     dim_head = HD // n_head
     if save is None:
         save = _save_mode(C)
@@ -551,7 +500,10 @@ def _swin_fwd(x, g1, b1, wqkv, bqkv, wout, bout, g2, b2, w1, b1f, w2, b2f,
                   False, save)
     G = hs * wspp
 
-    out_specs = [pl.BlockSpec((bc, H, W, C), lambda i, y: (i, 0, 0, 0))]
+    # x/o blocks are window-row bands: the 4-D array is viewed as
+    # [B, hs·w, W, C] with band blocks (bc, w, W, C) at (i, wy)
+    band = pl.BlockSpec((bc, w, W, C), lambda i, y: (i, y, 0, 0))
+    out_specs = [band]
     out_shape = [jax.ShapeDtypeStruct((B, H, W, C), x.dtype)]
     if save != "none":
         out_specs.append(pl.BlockSpec((bc, wspp, m, C),
@@ -568,13 +520,12 @@ def _swin_fwd(x, g1, b1, wqkv, bqkv, wout, bout, g2, b2, w1, b1f, w2, b2f,
     outs = pl.pallas_call(
         functools.partial(
             _sw_fwd_kernel, scale=scale, eps=eps, bc=bc, n_head=n_head,
-            dim_head=dim_head, act=act, window=window, shift=shift,
-            pack=pack, hs=hs, ws=ws, H=H, W=W, grouped=grouped,
-            has_bqkv=has[0], has_bout=has[1], has_b1f=has[2],
-            has_b2f=has[3], has_rs=bool(has_rs), save=save),
+            dim_head=dim_head, act=act, window=window, pack=pack, wspp=wspp,
+            grouped=grouped, has_bqkv=has[0], has_bout=has[1],
+            has_b1f=has[2], has_b2f=has[3], has_rs=bool(has_rs), save=save),
         grid=(B // bc, hs),
         in_specs=[
-            pl.BlockSpec((bc, H, W, C), lambda i, y: (i, 0, 0, 0)),
+            band,
             _const4((1, C)), _const4((1, C)),
             _const4(wqkv.shape), _const4(bq.shape),
             _const4(wout.shape), _const4(bo.shape),
@@ -605,23 +556,23 @@ def _swin_fwd(x, g1, b1, wqkv, bqkv, wout, bout, g2, b2, w1, b1f, w2, b2f,
 
 def _swin_fwd_rule(x, g1, b1, wqkv, bqkv, wout, bout, g2, b2, w1, b1f, w2,
                    b2f, extra, rs, n_head, act, scale, eps, window,
-                   shift_pack, interpret):
+                   pack_interpret):
     save = _save_mode(x.shape[-1])
     if save == "none":
         save = "z+acc"
     return _swin_fwd(x, g1, b1, wqkv, bqkv, wout, bout, g2, b2, w1, b1f, w2,
                      b2f, extra, rs, n_head, act, scale, eps, window,
-                     shift_pack, interpret, save=save)
+                     pack_interpret, save=save)
 
 
-def _swin_bwd(n_head, act, scale, eps, window, shift_pack, interpret, res,
-              do):
-    shift, pack = shift_pack
+def _swin_bwd(n_head, act, scale, eps, window, pack_interpret, res, do):
+    pack, interpret = pack_interpret
     (x, g1, b1, wqkv, bqkv, wout, bout, g2, b2, w1, b1f, w2, b2f,
      extra, rs, z, acc, sqkv) = res
     save = "z+acc+qkv" if sqkv is not None else "z+acc"
     (B, H, W, C, HD, F, hs, ws, wspp, m, Ge, grouped, rs_b,
      has_rs) = _common(x, wqkv, w1, extra, rs, pack, window)
+    w = window
     three_hd = wqkv.shape[1]
     dim_head = HD // n_head
     has, (bq, bo, bf1, bf2) = _bias_forms(x, bqkv, bout, b1f, b2f)
@@ -629,6 +580,7 @@ def _swin_bwd(n_head, act, scale, eps, window, shift_pack, interpret, res,
                   True, save)
     G = hs * wspp
 
+    band = pl.BlockSpec((bc, w, W, C), lambda i, y: (i, y, 0, 0))
     sqkv_in = sqkv if sqkv is not None else jnp.zeros((1, 1, 1, 1), x.dtype)
     sqkv_spec = (pl.BlockSpec((bc, wspp, m, three_hd),
                               lambda i, y: (i, y, 0, 0))
@@ -640,13 +592,12 @@ def _swin_bwd(n_head, act, scale, eps, window, shift_pack, interpret, res,
     outs = pl.pallas_call(
         functools.partial(
             _sw_bwd_kernel, scale=scale, eps=eps, bc=bc, n_head=n_head,
-            dim_head=dim_head, act=act, window=window, shift=shift,
-            pack=pack, hs=hs, ws=ws, H=H, W=W, grouped=grouped,
-            has_bqkv=has[0], has_bout=has[1], has_b1f=has[2],
-            has_b2f=has[3], has_rs=bool(has_rs), save=save),
+            dim_head=dim_head, act=act, window=window, pack=pack, wspp=wspp,
+            grouped=grouped, has_bqkv=has[0], has_bout=has[1],
+            has_b1f=has[2], has_b2f=has[3], has_rs=bool(has_rs), save=save),
         grid=(B // bc, hs),
         in_specs=[
-            pl.BlockSpec((bc, H, W, C), lambda i, y: (i, 0, 0, 0)),
+            band,
             _const4((1, C)), _const4((1, C)),
             _const4(wqkv.shape), _const4(bq.shape),
             _const4(wout.shape), _const4(bo.shape),
@@ -656,13 +607,13 @@ def _swin_bwd(n_head, act, scale, eps, window, shift_pack, interpret, res,
             pl.BlockSpec((wspp if grouped else 1, n_head, m, m),
                          lambda i, y: ((y if grouped else 0), 0, 0, 0)),
             rs_spec,
-            pl.BlockSpec((bc, H, W, C), lambda i, y: (i, 0, 0, 0)),
+            band,
             pl.BlockSpec((bc, wspp, m, C), lambda i, y: (i, y, 0, 0)),
             pl.BlockSpec((bc, wspp, m, HD), lambda i, y: (i, y, 0, 0)),
             sqkv_spec,
         ],
         out_specs=[
-            pl.BlockSpec((bc, H, W, C), lambda i, y: (i, 0, 0, 0)),
+            band,
             _const4((1, C)), _const4((1, C)),
             _const4(wqkv.shape), _const4((1, three_hd)),
             _const4(wout.shape), _const4((1, C)),
@@ -727,24 +678,33 @@ def fused_swin_layer(x, ln1_scale, ln1_bias, wqkv, bqkv, wout, bout,
                      scale: Optional[float] = None, eps: float = 1e-6,
                      interpret: bool = False):
     """Whole Swin layer — cyclic shift, window(-pair) partition, pre-LN
-    attention + FF residual branches, unpartition, unshift — as ONE Pallas
-    program over the NHWC feature map:
+    attention + FF residual branches, unpartition, unshift — with the
+    partition and both residual branches as ONE Pallas program over the
+    NHWC feature map:
 
         o = SwinLayer(x)   with   x, o: [B, H, W, C]
 
-    ``extra``: [G, H, m, m] (per window-row-band × pair group, shifted) or
-    [1, H, m, m] (broadcast, unshifted) additive attention bias in
-    LAYOUT-NATIVE token order (see :func:`swin_token_perm`), m = pack·w².
-    ``rs_attn`` / ``rs_ff``: optional [B] per-SAMPLE DropPath scales
-    (reference models/layer.py:166-183 — grads sum over the sample's
-    windows inside the kernel).  Reference layer: swin_transformer.py
-    :103-197 including the roll at :110-115/:130-135.
+    For shifted layers the cyclic roll runs as plain ``jnp.roll`` around
+    the custom call (ONE fused map copy each way — the only XLA movement
+    left; unshifted layers have none).  ``extra``: [G, H, m, m] (per
+    window-row-band × pair group, shifted) or [1, H, m, m] (broadcast,
+    unshifted) additive attention bias in LAYOUT-NATIVE token order (see
+    :func:`swin_token_perm`), m = pack·w².  ``rs_attn`` / ``rs_ff``:
+    optional [B] per-SAMPLE DropPath scales (reference
+    models/layer.py:166-183 — grads sum over the sample's windows inside
+    the kernel).  Reference layer: swin_transformer.py:103-197 including
+    the roll at :110-115/:130-135.
     """
     if scale is None:
         HD = wqkv.shape[1] // 3
         scale = 1.0 / math.sqrt(HD // n_head)
-    return _swin_layer(x, ln1_scale, ln1_bias, wqkv, bqkv, wout, bout,
-                       ln2_scale, ln2_bias, w1, b1, w2, b2, extra,
-                       (rs_attn, rs_ff), n_head, activation, float(scale),
-                       float(eps), window, (bool(shift), int(pack)),
-                       interpret)
+    roll = window // 2
+    if shift:
+        x = jnp.roll(x, (-roll, -roll), (1, 2))
+    out = _swin_layer(x, ln1_scale, ln1_bias, wqkv, bqkv, wout, bout,
+                      ln2_scale, ln2_bias, w1, b1, w2, b2, extra,
+                      (rs_attn, rs_ff), n_head, activation, float(scale),
+                      float(eps), window, (int(pack), bool(interpret)))
+    if shift:
+        out = jnp.roll(out, (roll, roll), (1, 2))
+    return out
