@@ -188,13 +188,29 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, extra=None,
-                 pack: int = 1):
+                 pack: int = 1, rs_override=None):
         """``extra``/``pack``: model-level crop packing — ``pack`` crops of
         n//pack tokens each share this row, isolated by the block-diagonal
-        ``extra`` mask (see VisionTransformer.forward_feature)."""
+        ``extra`` mask (see VisionTransformer.forward_feature).
+
+        ``rs_override``: (rs_attn, rs_ff) pre-drawn DropPath scales — the
+        scan-over-layers path (scan_layers) draws per-layer scales OUTSIDE
+        the scan (the ramp rates are static there) and feeds them in as
+        scanned inputs; each is None, [b] (per sample) or [b, n] (token
+        level, packed crops)."""
         from .. import ops as _ops
 
         b, n, dim = x.shape
+        if rs_override is not None:
+            _draws = iter(rs_override)
+            row_scale = lambda: next(_draws)
+            scales_per_sample = (rs_override[0] is None
+                                 or rs_override[0].ndim == 1)
+        else:
+            row_scale = lambda: self._row_scale(b, deterministic, pack,
+                                                n // pack)
+            scales_per_sample = (deterministic or self.drop_path == 0.0
+                                 or pack == 1)
         g1, b1 = LayerNormParams(name="norm_attn")(dim)
         g2, b2 = LayerNormParams(name="norm_ff")(dim)
         attn = MultiHeadedAttention(
@@ -223,15 +239,14 @@ class TransformerLayer(nn.Module):
         # token-level DropPath scales (packed crops with drop_path > 0)
         # need the two-call path below; checked BEFORE drawing so the
         # dropout rng stream stays aligned with the "layer" impl
-        scales_per_sample = (deterministic or self.drop_path == 0.0
-                             or pack == 1)
+        # (scales_per_sample computed above, override-aware)
         if use_layer and impl == "layer1" and scales_per_sample:
             # whole layer (attention + FF residual branches) as ONE custom
             # call (ops/fused_layer1.py) — kills the per-layer dependent-
             # custom-call boundary (PERF.md round 3)
-            rs1 = self._row_scale(b, deterministic, pack, n // pack)
+            rs1 = row_scale()
             if rs1 is None or rs1.ndim == 1:
-                rs2 = self._row_scale(b, deterministic, pack, n // pack)
+                rs2 = row_scale()
                 wqkv, bqkv, wout, bout = attn(x, return_params=True)
                 w1f, b1f, w2f, b2f = ff(x, return_params=True)
                 return _ops.fused_transformer_layer(
@@ -248,7 +263,7 @@ class TransformerLayer(nn.Module):
             # is exact because the kernel returns x + branch.  The FF half
             # fuses only when the FF kernel is enabled (backward trails
             # XLA — PERF.md)
-            rs = self._row_scale(b, deterministic, pack, n // pack)
+            rs = row_scale()
             if rs is None or rs.ndim == 1:
                 x = attn(x, deterministic, ln=(g1, b1, _LN_EPS),
                          row_scale=rs, extra=extra)
@@ -256,7 +271,7 @@ class TransformerLayer(nn.Module):
                 out = attn(x, deterministic, ln=(g1, b1, _LN_EPS),
                            extra=extra)
                 x = apply_dp(x, out - x, rs)
-            rs = self._row_scale(b, deterministic, pack, n // pack)
+            rs = row_scale()
             if _ops.ff_kernel_enabled() and (rs is None or rs.ndim == 1):
                 return ff(x, deterministic, ln=(g2, b2, _LN_EPS),
                           row_scale=rs)
@@ -265,6 +280,12 @@ class TransformerLayer(nn.Module):
             return apply_dp(x, h, rs)
 
         def dp(y):
+            if rs_override is not None:
+                rs = row_scale()
+                if rs is None:
+                    return y
+                rs = rs[:, None, None] if rs.ndim == 1 else rs[:, :, None]
+                return y * rs.astype(y.dtype)
             if deterministic or self.drop_path == 0.0:
                 return y
             if pack > 1:
@@ -309,6 +330,63 @@ class PatchEmbedding(nn.Module):
         return y.reshape(b, h * w, c)
 
 
+class _LayerScanBody(nn.Module):
+    """``lax.scan`` body for scan_layers: one TransformerLayer whose params
+    carry a leading [depth] axis (``nn.scan`` variable_axes).  The whole
+    12-layer stack traces and compiles ONCE instead of 12 times — a ~10×
+    XLA graph reduction that fixes the DINO multi-crop compile blowup
+    (224/chip failed a 10-minute compile window unrolled, PERF.md round 4;
+    300-epoch runs re-jit per progressive stage, so compile time is a
+    production cost, reference train.py:229-246)."""
+
+    n_head: int
+    dim_ff: int
+    dropout: float = 0.0
+    drop_attn: float = 0.0
+    drop_ff: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, rs, deterministic, extra, pack):
+        # drop_path attr is 0 — per-layer ramp scales arrive pre-drawn via
+        # rs (the ramp is static, so the draws happen OUTSIDE the scan)
+        y = TransformerLayer(
+            self.n_head, self.dim_ff, self.dropout, self.drop_attn,
+            self.drop_ff, 0.0, dtype=self.dtype, name="layer",
+        )(x, deterministic, extra, pack, rs_override=rs)
+        return y, None
+
+
+def stack_scan_layers(tree, depth: int):
+    """Per-layer param tree (``layers_0`` … ``layers_{depth-1}``) → the
+    scan_layers tree (``layers/layer`` with a leading [depth] axis).  Walks
+    nested dicts, so it works on any enclosing tree (e.g. a DINO student's
+    ``backbone``).  Inverse: :func:`unstack_scan_layers`."""
+    if not isinstance(tree, dict):
+        return tree
+    if "layers_0" in tree:
+        layers = [tree[f"layers_{i}"] for i in range(depth)]
+        out = {k: v for k, v in tree.items() if not k.startswith("layers_")}
+        out["layers"] = {"layer": jax.tree.map(
+            lambda *xs: jnp.stack(xs), *layers)}
+        return out
+    return {k: stack_scan_layers(v, depth) for k, v in tree.items()}
+
+
+def unstack_scan_layers(tree, depth: int):
+    """Inverse of :func:`stack_scan_layers`."""
+    if not isinstance(tree, dict):
+        return tree
+    if "layers" in tree and isinstance(tree["layers"], dict) \
+            and set(tree["layers"]) == {"layer"}:
+        out = {k: v for k, v in tree.items() if k != "layers"}
+        stacked = tree["layers"]["layer"]
+        for i in range(depth):
+            out[f"layers_{i}"] = jax.tree.map(lambda v: v[i], stacked)
+        return out
+    return {k: unstack_scan_layers(v, depth) for k, v in tree.items()}
+
+
 class VisionTransformer(nn.Module):
     """(reference: models/vit.py:79-203)"""
 
@@ -324,6 +402,7 @@ class VisionTransformer(nn.Module):
     drop_path: float = 0.0
     n_class: Optional[int] = None  # None: return features (DINO backbone)
     remat: bool = False  # per-layer jax.checkpoint (memory <-> recompute)
+    scan_layers: bool = False  # lax.scan over a stacked layer param axis
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -343,13 +422,27 @@ class VisionTransformer(nn.Module):
         # static args: deterministic (2), pack (4); param structure unchanged
         layer_cls = (nn.remat(TransformerLayer, static_argnums=(2, 4))
                      if self.remat else TransformerLayer)
-        self.layers = [
-            layer_cls(
-                self.n_head, self.dim_ff, self.dropout, self.drop_attn,
-                self.drop_ff, rates[i], dtype=self.dtype, name=f"layers_{i}",
-            )
-            for i in range(self.depth)
-        ]
+        if self.scan_layers:
+            body = (nn.remat(_LayerScanBody, static_argnums=(3, 5))
+                    if self.remat else _LayerScanBody)
+            self.layers = ()
+            self.scan_block = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+                length=self.depth,
+            )(self.n_head, self.dim_ff, self.dropout, self.drop_attn,
+              self.drop_ff, dtype=self.dtype, name="layers")
+        else:
+            self.layers = [
+                layer_cls(
+                    self.n_head, self.dim_ff, self.dropout, self.drop_attn,
+                    self.drop_ff, rates[i], dtype=self.dtype,
+                    name=f"layers_{i}",
+                )
+                for i in range(self.depth)
+            ]
         self.norm = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype)
         self.pos_dropout = nn.Dropout(self.dropout)
         if self.n_class is not None:
@@ -414,8 +507,35 @@ class VisionTransformer(nn.Module):
                           np.ones((seq, seq), np.float32))
             extra = jnp.asarray(np.where(eye > 0, 0.0, -1e9), jnp.float32)
 
-        for layer in self.layers:
-            out = layer(out, deterministic, extra, pack)
+        if self.scan_layers:
+            rows = out.shape[0]
+            if deterministic or self.drop_path == 0.0:
+                rs = (None, None)
+            else:
+                # pre-draw the per-layer DropPath scales — the ramp rates
+                # are static only OUTSIDE the scan body
+                rates = [self.drop_path * i / max(self.depth - 1, 1)
+                         for i in range(self.depth)]
+                key = self.make_rng("dropout")
+                keys = jax.random.split(key, 2 * self.depth)
+
+                def draw(k, rate):
+                    keep = 1.0 - rate
+                    if pack == 1:
+                        m = jax.random.bernoulli(k, keep, (rows,))
+                        return m.astype(jnp.float32) / keep
+                    m = jax.random.bernoulli(k, keep, (rows, pack))
+                    m = jnp.repeat(m.astype(jnp.float32), seq, axis=1)
+                    return m / keep
+
+                rs = (jnp.stack([draw(keys[2 * i], r)
+                                 for i, r in enumerate(rates)]),
+                      jnp.stack([draw(keys[2 * i + 1], r)
+                                 for i, r in enumerate(rates)]))
+            out, _ = self.scan_block(out, rs, deterministic, extra, pack)
+        else:
+            for layer in self.layers:
+                out = layer(out, deterministic, extra, pack)
         if pack > 1:
             out = out.reshape(b, seq, self.dim)
         out = self.norm(out)
@@ -539,6 +659,7 @@ class ViTConfig(TypedConfig):
     drop_ff: float = 0.0
     drop_path: float = 0.0
     remat: bool = False  # optional extension over the reference conf schema
+    scan_layers: bool = False  # lax.scan layer stack (12x smaller XLA graph)
 
     def make(self, dtype=jnp.float32, drop_path: Optional[float] = None,
              dropout: Optional[float] = None) -> VisionTransformer:
@@ -554,6 +675,7 @@ class ViTConfig(TypedConfig):
             drop_ff=self.drop_ff,
             drop_path=self.drop_path if drop_path is None else drop_path,
             remat=self.remat,
+            scan_layers=self.scan_layers,
             n_class=self.n_class,
             dtype=dtype,
         )
@@ -580,6 +702,7 @@ class DINOConfig(TypedConfig):
     dim_head_ff: int = 2048
     dim_head_bottleneck: int = 256
     remat: bool = False  # optional extension over the reference conf schema
+    scan_layers: bool = False  # lax.scan layer stack (12x smaller XLA graph)
 
     def make(self, dtype=jnp.float32, drop_path: Optional[float] = None) -> DINOModel:
         backbone = VisionTransformer(
@@ -594,6 +717,7 @@ class DINOConfig(TypedConfig):
             drop_ff=self.drop_ff,
             drop_path=self.drop_path if drop_path is None else drop_path,
             remat=self.remat,
+            scan_layers=self.scan_layers,
             n_class=None,
             dtype=dtype,
         )

@@ -51,14 +51,24 @@ __all__ = [
 _OUT_LAST_LEAVES = ("kernel", "last_v")
 
 
-def _unitwise_norm(x: jax.Array, out_last: bool = True) -> jax.Array:
-    if x.ndim <= 1:
+def _unitwise_norm(x: jax.Array, out_last: bool = True,
+                   lead_axis: bool = False) -> jax.Array:
+    """``lead_axis``: the leaf carries a stacked [depth] scan axis
+    (scan_layers) — each layer's units norm independently, exactly as the
+    per-layer leaves would."""
+    lead = 1 if lead_axis else 0
+    if x.ndim - lead <= 1:
+        if lead:
+            return jnp.sqrt(jnp.sum(jnp.square(x),
+                                    axis=tuple(range(1, x.ndim)),
+                                    keepdims=True))
         return jnp.linalg.norm(x)
     # The reference (optimizer.py:4-9) norms over ``dim=range(1, ndim)`` —
     # the unit is dim 0, the output neuron of torch (out, in) / (O,I,H,W)
     # weights.  For flax kernels ((in, out) / HWIO) that same unit is the
     # LAST axis; for identically-laid-out leaves it stays the first.
-    axes = tuple(range(x.ndim - 1)) if out_last else tuple(range(1, x.ndim))
+    axes = tuple(range(lead, x.ndim - 1)) if out_last \
+        else tuple(range(1 + lead, x.ndim))
     return jnp.sqrt(jnp.sum(jnp.square(x), axis=axes, keepdims=True))
 
 
@@ -83,8 +93,10 @@ def adaptive_grad_clip(clipping: float = 0.01, eps: float = 1e-3) -> optax.Gradi
                 return g
             leaf = str(getattr(path[-1], "key", path[-1])) if path else ""
             out_last = leaf in _OUT_LAST_LEAVES
-            max_norm = jnp.maximum(_unitwise_norm(p, out_last), eps) * clipping
-            g_norm = _unitwise_norm(g, out_last)
+            lead = _is_scan_path(path)
+            max_norm = jnp.maximum(_unitwise_norm(p, out_last, lead),
+                                   eps) * clipping
+            g_norm = _unitwise_norm(g, out_last, lead)
             clipped = g * (max_norm / jnp.maximum(g_norm, 1e-6))
             return jnp.where(g_norm < max_norm, g, clipped)
 
@@ -99,6 +111,15 @@ def adaptive_grad_clip(clipping: float = 0.01, eps: float = 1e-3) -> optax.Gradi
 
 def _path_names(path: Tuple[Any, ...]) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path).lower()
+
+
+def _is_scan_path(path: Tuple[Any, ...]) -> bool:
+    """True for leaves under the scan_layers stacked axis
+    (…/layers/layer/… — models/vit.py::_LayerScanBody): their leading dim
+    is the [depth] stack, not a unit/feature axis."""
+    names = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+    return any(a == "layers" and b == "layer"
+               for a, b in zip(names, names[1:]))
 
 
 def wd_skip_fn(skip_type: str) -> Callable[[Tuple[Any, ...], jax.Array], bool]:
@@ -120,7 +141,7 @@ def wd_skip_fn(skip_type: str) -> Callable[[Tuple[Any, ...], jax.Array], bool]:
                 "bias" in name
                 or "cls" in name
                 or "norm" in name
-                or param.ndim == 1
+                or param.ndim - (1 if _is_scan_path(path) else 0) == 1
             )
         if skip_type == "dino":
             # torch weight_norm stores the gain as (out, 1) — ndim 2 — so the
@@ -129,7 +150,8 @@ def wd_skip_fn(skip_type: str) -> Callable[[Tuple[Any, ...], jax.Array], bool]:
             # fall through to the ndim==1 skip.
             if "last_g" in name:
                 return False
-            return "bias" in name or param.ndim == 1
+            nd = param.ndim - (1 if _is_scan_path(path) else 0)
+            return "bias" in name or nd == 1
         raise ValueError(f"unknown wd_skip type: {skip_type!r}")
 
     return check

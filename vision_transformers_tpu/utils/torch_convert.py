@@ -512,6 +512,12 @@ def convert_variables(arch_cfg: Any, state_dict: Dict[str, Any],
     arch_cfg = registry.build("model", arch_cfg)
     variables = convert_state_dict(arch_cfg, state_dict, strict=strict)
     variables = jax.tree.map(jnp.asarray, variables)
+    if getattr(arch_cfg, "scan_layers", False):
+        # torch checkpoints are per-layer; the scan_layers model wants the
+        # stacked layers/layer tree (models/vit.py::stack_scan_layers)
+        from ..models.vit import stack_scan_layers
+
+        variables = stack_scan_layers(variables, arch_cfg.depth)
     if not validate:
         return variables
 
