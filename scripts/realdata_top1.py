@@ -426,7 +426,7 @@ def cmd_ours(args):
             r = json.loads(line)
             if "prec1" not in r:
                 continue
-            epoch = int(r.get("step", 0)) + 1
+            epoch = int(r.get("epoch", int(r.get("step", 0)) + 1))
             rec = {"arm": f"ours_{args.precision}", "seed": args.seed,
                    "epoch": epoch, "step": epoch * spe,
                    "valid_loss": round(float(r["loss"]), 4),

@@ -142,3 +142,34 @@ def test_optimizer_equivalent_under_scan():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
                 err_msg=f"{skip} {pa}")
+
+
+def test_torch_convert_stacks_for_scan_arch():
+    """convert_variables() must produce the stacked tree when the arch has
+    scan_layers (finetune= / convert.py path, torch_convert.py)."""
+    import sys as _sys
+    import test_torch_parity  # noqa: F401 — installs the tensorfn stub
+    import torch
+    from models.vit import VisionTransformer as TorchViT
+
+    from vision_transformers_tpu.utils.torch_convert import convert_variables
+
+    torch.manual_seed(0)
+    tm = TorchViT(head=torch.nn.Linear(32, 10), image_size=32,
+                  window_size=8, depth=3, dim=32, n_head=2, dim_ff=64,
+                  dropout=0, drop_attn=0, drop_ff=0, drop_path=0)
+    arch = dict(ARCH, scan_layers=True)
+    variables = convert_variables(arch, tm.state_dict())
+    p = variables["params"]
+    assert "layers" in p and "layer" in p["layers"], sorted(p)
+    qkv = p["layers"]["layer"]["attn"]["qkv"]["kernel"]
+    assert qkv.shape[0] == 3, qkv.shape  # leading depth axis
+    # and the stacked model accepts it + matches torch logits
+    scan = registry.build("model", arch).make()
+    rng = np.random.default_rng(11)
+    x = np.asarray(rng.normal(size=(2, 32, 32, 3)), np.float32)
+    ours = scan.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4,
+                               rtol=2e-4)

@@ -14,12 +14,18 @@ map in its canonical NHWC layout:
   the layer's HBM traffic is one map read + one map write (+ saves)
 - window-PAIR tokens are formed by an in-VMEM slice+reshape of the band;
   the sublane compaction runs at VPU speed instead of as HBM round-trips
-  (microbenchmarked: band → 4 pair extractions + inverse ≈ 2.1 ms for a
-  [128,56,56,96] map — vs ~0.5 ms/copy × 2 copies/layer on the XLA path)
 - the cyclic shift stays OUTSIDE the custom call as a plain ``jnp.roll``
   (two fused slices+concat, ONE map copy each way, shifted layers only) —
   an in-kernel two-piece wrap assembly was measured catastrophically slow
   (Mosaic lowers concat-of-dynamic-ref-slices through a scalar path)
+
+**Measured verdict (PERF.md round 5): this kernel LOSES to layer1** —
+959.6-963.2 vs 981.2 img/s/chip on the Swin-S full step at 128/chip
+(bc swept 8/16/auto).  The in-VMEM pair extraction re-tiles [w, pack·w, C]
+slices whose pack·w = 14 rows don't hit the 16-sublane bf16 tile, costing
+more VPU shuffle time than the HBM partition copies it removes.  It ships
+as the measured-losing branch behind ``VTX_ATTN_IMPL=swin``; layer1 stays
+the default (models/swin.py).
 
 Token order inside a pair is LAYOUT-NATIVE — ``t = row·(pack·w) + col``
 across the pair's columns — i.e. the order the band reshape produces, NOT
