@@ -138,7 +138,8 @@ def k_noloop4(x_ref, g_ref, b_ref, wqkv_ref, wout_ref, o_ref):
     jax.lax.fori_loop(0, BC // 4, body, 0)
 
 
-def k_blockdiag(x_ref, g_ref, b_ref, wqkv_ref, wout_ref, o_ref):
+def k_blockdiag(x_ref, g_ref, b_ref, wqkv_ref, wout_ref, o_ref,
+                kpad_ref, vpad_ref):
     """Lane-axis head merge: ONE score dot s_all[98, 3·104] = q_cat·K_blkᵀ
     (q_cat is the native [98, 96] qkv slice; K_blk is block-diagonal so
     cross-head contraction terms hit zeros) and ONE av dot
@@ -158,25 +159,33 @@ def k_blockdiag(x_ref, g_ref, b_ref, wqkv_ref, wout_ref, o_ref):
                                   ).astype(x_ref.dtype)
         q, k, v = qkv[:, :HD], qkv[:, HD:2 * HD], qkv[:, 2 * HD:]
 
-        def stack(t):
-            t_pad = jnp.pad(t, ((0, PAD - N), (0, 0)))
+        def stack(t, pad_ref):
+            # 98->104 pad via a scratch-ref slice store (concat-of-vpad and
+            # scatter/dus forms all fail to lower in this Mosaic version)
+            pad_ref[N:] = jnp.zeros((PAD - N, C), t.dtype)
+            pad_ref[:N] = t
+            t_pad = pad_ref[...]
             pieces = []
             for h in range(H):
                 m = ((lane >= h * D) & (lane < (h + 1) * D)).astype(t.dtype)
                 pieces.append(t_pad * m)
             return jnp.concatenate(pieces, axis=0)  # [H·PAD, C] block-diag
 
-        k_blk = stack(k)
-        v_blk = stack(v)
+        k_blk = stack(k, kpad_ref)
+        v_blk = stack(v, vpad_ref)
         # s_all[i, h·PAD+j] = q_i(head h) · k_j(head h): zeros kill cross terms
         s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s * SCALE + padmask.reshape(1, H * PAD)      # [N, H·PAD]
-        s3 = s.reshape(N, H, PAD)
-        m3 = jnp.max(s3, axis=2, keepdims=True)
-        p3 = jnp.exp(s3 - m3)
-        p3 = p3 / jnp.sum(p3, axis=2, keepdims=True)
-        p_cat = p3.reshape(N, H * PAD).astype(x_ref.dtype)
+        # per-head softmax via static lane slices (the [N, H, PAD] lane
+        # split reshape is an unsupported Mosaic shape cast)
+        parts = []
+        for h in range(H):
+            sh = s[:, h * PAD:(h + 1) * PAD]
+            mx = jnp.max(sh, axis=-1, keepdims=True)
+            ph = jnp.exp(sh - mx)
+            parts.append(ph / jnp.sum(ph, axis=-1, keepdims=True))
+        p_cat = jnp.concatenate(parts, axis=1).astype(x_ref.dtype)
         acc = jax.lax.dot_general(p_cat, v_blk, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32
                                   ).astype(x_ref.dtype)  # [N, C]
@@ -191,7 +200,8 @@ def k_blockdiag(x_ref, g_ref, b_ref, wqkv_ref, wout_ref, o_ref):
 PAD = 104  # per-head key section, 8-aligned (98 -> 104)
 
 
-def k_headstack(x_ref, g_ref, b_ref, wqkv_ref, wout_ref, o_ref):
+def k_headstack(x_ref, g_ref, b_ref, wqkv_ref, wout_ref, o_ref,
+                kpad_ref, vpad_ref):
     """All-head attention dots as single MXU ops via head-masked key/value
     stacking: k_aug[104h+j] = k_j ⊙ mask_h, scores = k_aug·qᵀ [312, 98]
     (K=96), softmax over key-sublanes per 104-group, out = p_Tᵀ·v_aug
@@ -208,18 +218,20 @@ def k_headstack(x_ref, g_ref, b_ref, wqkv_ref, wout_ref, o_ref):
                                   ).astype(x_ref.dtype)
         q, k, v = qkv[:, :HD], qkv[:, HD:2 * HD], qkv[:, 2 * HD:]
 
-        def stack(t):
-            # one misaligned pad 98->104, then aligned 104-row concats; pad
-            # rows are masked out downstream so their contents don't matter
-            t_pad = jnp.pad(t, ((0, PAD - N), (0, 0)))
+        def stack(t, pad_ref):
+            # 98->104 pad via a scratch-ref slice store (see k_blockdiag);
+            # pad rows are masked out downstream so contents don't matter
+            pad_ref[N:] = jnp.zeros((PAD - N, C), t.dtype)
+            pad_ref[:N] = t
+            t_pad = pad_ref[...]
             pieces = []
             for h in range(H):
                 m = ((lane >= h * D) & (lane < (h + 1) * D)).astype(t.dtype)
                 pieces.append(t_pad * m)
             return jnp.concatenate(pieces, axis=0)  # [H*PAD, C]
 
-        k_aug = stack(k)
-        v_aug = stack(v)
+        k_aug = stack(k, kpad_ref)
+        v_aug = stack(v, vpad_ref)
         s = jax.lax.dot_general(k_aug, q, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s * SCALE + padmask  # [H*PAD, N] key-major
@@ -240,9 +252,13 @@ def k_headstack(x_ref, g_ref, b_ref, wqkv_ref, wout_ref, o_ref):
 
 
 def _pc(kernel):
+    scratch = []
+    if kernel in (k_headstack, k_blockdiag):
+        scratch = [pltpu.VMEM((PAD, C), DT), pltpu.VMEM((PAD, C), DT)]
     return pl.pallas_call(
         kernel,
         grid=(B // BC,),
+        scratch_shapes=scratch,
         in_specs=[
             pl.BlockSpec((BC, N, C), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, C), lambda i: (0, 0)),

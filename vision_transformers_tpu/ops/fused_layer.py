@@ -45,6 +45,16 @@ from .fused_block import _extra_form, _head_slices
 
 __all__ = ["fused_attention_layer", "fused_ff_layer"]
 
+
+def _layer_unroll() -> int:
+    """Row-loop unroll factor (VTX_LAYER_UNROLL, falls back to
+    VTX_L1_UNROLL).  Full-step A/Bs decide the shipped default; the
+    isolated stage-1 fwd win is 5.35 -> 4.63 -> 4.22 ms at 1/2/4
+    (scripts/exp_kernel_dissect.py round 5)."""
+    env = os.environ.get("VTX_LAYER_UNROLL") or os.environ.get("VTX_L1_UNROLL")
+    return max(1, int(env)) if env else 4
+
+
 # A/B knob (read at import): store the backward's per-head attention
 # probabilities in bf16 instead of f32 (see the softmax in the bwd kernel)
 _BF16_P = os.environ.get("VTX_BF16_P") in ("1", "true", "on")
@@ -156,7 +166,18 @@ def _attn_layer_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
         o_ref[j] = xj + a
         return _
 
-    jax.lax.fori_loop(0, bc, body, 0)
+    _u = _layer_unroll()
+    if _u > 1 and bc % _u == 0:
+        # manual row interleave (see ops/fused_layer1.py::_l1_unroll):
+        # Mosaic only lowers fori unroll=1/full; independent rows give the
+        # scheduler MXU passes to overlap
+        def _ubody(jj, carry):
+            for _off in range(_u):
+                body(jj * _u + _off, carry)
+            return carry
+        jax.lax.fori_loop(0, bc // _u, _ubody, 0)
+    else:
+        jax.lax.fori_loop(0, bc, body, 0)
 
 
 def _attn_layer_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
@@ -318,7 +339,18 @@ def _attn_layer_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wout_ref,
         dx_ref[j] = dz + dx_ln.astype(x_ref.dtype)
         return _
 
-    jax.lax.fori_loop(0, bc, body, 0)
+    _u = _layer_unroll()
+    if _u > 1 and bc % _u == 0:
+        # manual row interleave (see ops/fused_layer1.py::_l1_unroll):
+        # Mosaic only lowers fori unroll=1/full; independent rows give the
+        # scheduler MXU passes to overlap
+        def _ubody(jj, carry):
+            for _off in range(_u):
+                body(jj * _u + _off, carry)
+            return carry
+        jax.lax.fori_loop(0, bc // _u, _ubody, 0)
+    else:
+        jax.lax.fori_loop(0, bc, body, 0)
 
 
 def _pick_bc_attn(B, N, C, HD, H, itemsize, bwd, has_extra):
@@ -694,7 +726,18 @@ def _ff_fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         o_ref[j] = xj + out
         return _
 
-    jax.lax.fori_loop(0, bc, body, 0)
+    _u = _layer_unroll()
+    if _u > 1 and bc % _u == 0:
+        # manual row interleave (see ops/fused_layer1.py::_l1_unroll):
+        # Mosaic only lowers fori unroll=1/full; independent rows give the
+        # scheduler MXU passes to overlap
+        def _ubody(jj, carry):
+            for _off in range(_u):
+                body(jj * _u + _off, carry)
+            return carry
+        jax.lax.fori_loop(0, bc // _u, _ubody, 0)
+    else:
+        jax.lax.fori_loop(0, bc, body, 0)
 
 
 def _ff_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
@@ -770,7 +813,18 @@ def _ff_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         dx_ref[j] = dz + dx_ln.astype(x_ref.dtype)
         return _
 
-    jax.lax.fori_loop(0, bc, body, 0)
+    _u = _layer_unroll()
+    if _u > 1 and bc % _u == 0:
+        # manual row interleave (see ops/fused_layer1.py::_l1_unroll):
+        # Mosaic only lowers fori unroll=1/full; independent rows give the
+        # scheduler MXU passes to overlap
+        def _ubody(jj, carry):
+            for _off in range(_u):
+                body(jj * _u + _off, carry)
+            return carry
+        jax.lax.fori_loop(0, bc // _u, _ubody, 0)
+    else:
+        jax.lax.fori_loop(0, bc, body, 0)
 
 
 def _pick_bc_ff(B, N, C, F, itemsize, bwd):

@@ -72,13 +72,15 @@ def _cp(interpret):
 
 
 def _l1_unroll() -> int:
-    """Row-loop unroll factor (VTX_L1_UNROLL).  The round-3 dissection
-    measured the 2-row-interleaved loop at 4.59 vs 5.30 ms fwd on the Swin
-    stage-1 shape (exp_kernel_dissect.py `noloop2` — independent rows give
-    the scheduler MXU passes to overlap); the full-step A/B decides the
-    shipped default."""
+    """Row-loop unroll factor (VTX_L1_UNROLL; measured default 4).
+
+    Manual interleave of independent rows gives the Mosaic scheduler MXU
+    passes to overlap (exp_kernel_dissect.py round 5: 5.35/4.63/4.22 ms
+    fwd at 1/2/4 on the Swin stage-1 shape; full-step A/Bs: Swin-S
+    981→1021, ViT-S 3845→4094 img/s/chip at unroll=4, the plateau —
+    unroll=8 ties at 2.4× the compile time).  PERF.md round 5."""
     env = os.environ.get("VTX_L1_UNROLL")
-    return max(1, int(env)) if env else 1
+    return max(1, int(env)) if env else 4
 
 
 # ---------------------------------------------------------------------------
@@ -161,7 +163,19 @@ def _l1_fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
         o_ref[j] = z + out
         return _
 
-    jax.lax.fori_loop(0, bc, body, 0, unroll=_l1_unroll())
+    _u = _l1_unroll()
+    if _u > 1 and bc % _u == 0:
+        # manual row unroll — Mosaic's fori_loop only lowers unroll=1 or
+        # full unroll; interleaving U independent rows gives the scheduler
+        # MXU passes to overlap (exp_kernel_dissect: 5.35 -> 4.63 -> 4.22 ms
+        # fwd at U=1/2/4 on the Swin stage-1 shape)
+        def _ubody(jj, carry):
+            for _off in range(_u):
+                body(jj * _u + _off, carry)
+            return carry
+        jax.lax.fori_loop(0, bc // _u, _ubody, 0)
+    else:
+        jax.lax.fori_loop(0, bc, body, 0)
 
 
 def _l1_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
@@ -367,7 +381,19 @@ def _l1_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
         dx_ref[j] = dz + dx_ln.astype(x_ref.dtype)
         return _
 
-    jax.lax.fori_loop(0, bc, body, 0, unroll=_l1_unroll())
+    _u = _l1_unroll()
+    if _u > 1 and bc % _u == 0:
+        # manual row unroll — Mosaic's fori_loop only lowers unroll=1 or
+        # full unroll; interleaving U independent rows gives the scheduler
+        # MXU passes to overlap (exp_kernel_dissect: 5.35 -> 4.63 -> 4.22 ms
+        # fwd at U=1/2/4 on the Swin stage-1 shape)
+        def _ubody(jj, carry):
+            for _off in range(_u):
+                body(jj * _u + _off, carry)
+            return carry
+        jax.lax.fori_loop(0, bc // _u, _ubody, 0)
+    else:
+        jax.lax.fori_loop(0, bc, body, 0)
 
 
 # ---------------------------------------------------------------------------

@@ -182,7 +182,19 @@ def _sw_fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
         o_ref[j] = obs[0] if wspp == 1 else jnp.concatenate(obs, axis=1)
         return _
 
-    jax.lax.fori_loop(0, bc, body, 0, unroll=_l1_unroll())
+    _u = _l1_unroll()
+    if _u > 1 and bc % _u == 0:
+        # manual row unroll — Mosaic's fori_loop only lowers unroll=1 or
+        # full unroll; interleaving U independent rows gives the scheduler
+        # MXU passes to overlap (exp_kernel_dissect: 5.35 -> 4.63 -> 4.22 ms
+        # fwd at U=1/2/4 on the Swin stage-1 shape)
+        def _ubody(jj, carry):
+            for _off in range(_u):
+                body(jj * _u + _off, carry)
+            return carry
+        jax.lax.fori_loop(0, bc // _u, _ubody, 0)
+    else:
+        jax.lax.fori_loop(0, bc, body, 0)
 
 
 def _sw_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
@@ -406,7 +418,19 @@ def _sw_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref,
             drs_ref[row, 1] = base2 + drs2_band
         return _
 
-    jax.lax.fori_loop(0, bc, body, 0, unroll=_l1_unroll())
+    _u = _l1_unroll()
+    if _u > 1 and bc % _u == 0:
+        # manual row unroll — Mosaic's fori_loop only lowers unroll=1 or
+        # full unroll; interleaving U independent rows gives the scheduler
+        # MXU passes to overlap (exp_kernel_dissect: 5.35 -> 4.63 -> 4.22 ms
+        # fwd at U=1/2/4 on the Swin stage-1 shape)
+        def _ubody(jj, carry):
+            for _off in range(_u):
+                body(jj * _u + _off, carry)
+            return carry
+        jax.lax.fori_loop(0, bc // _u, _ubody, 0)
+    else:
+        jax.lax.fori_loop(0, bc, body, 0)
 
 
 # ---------------------------------------------------------------------------
