@@ -400,7 +400,8 @@ checker: {{
 def cmd_ours(args):
     init = _init_path(args.seed)
     metrics = os.path.join(DATA, "out", f"ours_metrics_s{args.seed}.jsonl")
-    if os.path.exists(metrics):
+    resume = os.path.isdir(os.path.join(DATA, "out", f"ckpt_s{args.seed}"))
+    if os.path.exists(metrics) and not resume:
         os.unlink(metrics)
     conf_path = os.path.join(DATA, "out", f"realdata_s{args.seed}.conf")
     with open(conf_path, "w") as f:
@@ -414,6 +415,8 @@ def cmd_ours(args):
     cmd = [sys.executable, os.path.join(ROOT, "train.py"),
            "--conf", conf_path, f"finetune={init}", f"seed={args.seed}",
            f"precision={args.precision}"]
+    if resume:
+        cmd.append("resume=auto")  # continue an interrupted arm run
     print("$", " ".join(cmd), flush=True)
     subprocess.run(cmd, check=True)
 
@@ -421,18 +424,23 @@ def cmd_ours(args):
     spe = _steps_per_epoch()
     out_path = os.path.join(
         DATA, "out", f"ours_{args.precision}_s{args.seed}.jsonl")
-    with open(metrics) as f, open(out_path, "w") as out:
+    by_epoch = {}
+    with open(metrics) as f:
         for line in f:
             r = json.loads(line)
             if "prec1" not in r:
                 continue
-            epoch = int(r.get("epoch", int(r.get("step", 0)) + 1))
-            rec = {"arm": f"ours_{args.precision}", "seed": args.seed,
-                   "epoch": epoch, "step": epoch * spe,
-                   "valid_loss": round(float(r["loss"]), 4),
-                   "top1": round(float(r["prec1"]) / 100.0, 4)}
-            out.write(json.dumps(rec) + "\n")
-            print(rec, flush=True)
+            # the trainer logs the 0-based completed-epoch index
+            epoch = int(r.get("epoch", r.get("step", 0))) + 1
+            by_epoch[epoch] = {  # last write wins (resumed runs re-log)
+                "arm": f"ours_{args.precision}", "seed": args.seed,
+                "epoch": epoch, "step": epoch * spe,
+                "valid_loss": round(float(r["loss"]), 4),
+                "top1": round(float(r["prec1"]) / 100.0, 4)}
+    with open(out_path, "w") as out:
+        for epoch in sorted(by_epoch):
+            out.write(json.dumps(by_epoch[epoch]) + "\n")
+            print(by_epoch[epoch], flush=True)
 
 
 def cmd_report(args):
