@@ -135,8 +135,11 @@ class HaloAttention(nn.Module):
             # custom call (ops/fused_halo_layer.py)
             g1, b1, eps = ln
             g2, b2, w1f, b1f, w2f, b2f, act, rs_ff = ff
+            dt = self.dtype
             return _ops.fused_halo_layer(
-                x, g1, b1, wqkv, wout, bout, g2, b2, w1f, b1f, w2f, b2f,
+                x, g1, b1, wqkv.astype(dt), wout.astype(dt),
+                bout.astype(dt), g2, b2, w1f.astype(dt), b1f.astype(dt),
+                w2f.astype(dt), b2f.astype(dt),
                 bias.transpose(2, 0, 1), self.n_head, rs_attn=row_scale,
                 rs_ff=rs_ff, activation=act, window=window, halo=halo,
                 scale=scale, eps=eps)

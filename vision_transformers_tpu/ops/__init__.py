@@ -216,11 +216,14 @@ def halo_impl(window: int = 8, halo: int = 1) -> str:
 
         if jax.default_backend() != "tpu":
             return "einsum"  # Mosaic kernels only compile for TPU
-    # the direct kernel needs halo ≤ w/2 (band fold) and, on real TPUs,
-    # 8 | window for aligned col slices; interpret mode (tests) has no
-    # tiling constraint
+    # the layer/direct kernels need halo ≤ w/2 (band fold) and, on real
+    # TPUs, 8 | window for aligned col slices; interpret mode (tests) has
+    # no tiling constraint.  Measured default (PERF.md round 5): the
+    # whole-layer kernel — Halo-S full step 806.4 vs direct's 591.7
+    # img/s/chip at 64/chip (the chain-tax removal layer1 delivered for
+    # Swin, plus zero XLA segments between custom calls)
     if 2 * halo <= window and (window % 8 == 0 or _INTERPRET):
-        return "direct"
+        return "layer"
     return "gather"
 
 

@@ -360,9 +360,13 @@ def _hl_bwd_kernel(xp_ref, g1_ref, b1_ref, wqkv_ref, wout_ref, bout_ref,
                  halo + wx * w:halo + (wx + 1) * w, :HD] += dqw
         dqkv_acc[:, wx * w:wx * w + kpad, HD:] += dkvw
 
-    dqkv_band = dqkv_acc[...]
     # border kv tokens were zeroed in fwd — their grads must not flow back
-    dqkv_band = dqkv_band.at[:, :, HD:].multiply(mask.astype(jnp.float32))
+    # (lane-select multiply: .at[].multiply lowers to an unsupported
+    # scatter-mul inside kernels)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (k, Wp, 3 * HD), 2)
+    keep = jnp.where(lane3 < HD, jnp.float32(1.0),
+                     mask.astype(jnp.float32))
+    dqkv_band = dqkv_acc[...] * keep
     dqkv2 = dqkv_band.reshape(k * Wp, 3 * HD).astype(dt)
     dwqkv_ref[...] += jax.lax.dot_general(
         u, dqkv2, (((0,), (0,)), ((), ())),
@@ -375,11 +379,10 @@ def _hl_bwd_kernel(xp_ref, g1_ref, b1_ref, wqkv_ref, wout_ref, bout_ref,
     dx_ln, dg1p, db1p = _ln_bwd(dln1, xhat1, r1, g1_ref)
     dg1_ref[...] += dg1p
     db1_ref[...] += db1p
-    dxb = dx_ln.astype(dt).reshape(k, Wp, C)
     # the row-local residual (dz) lands on the interior tokens of the band
-    dxb = dxb.at[halo:halo + w, halo:halo + W, :].add(
-        dz.reshape(w, W, C))
-    dxb_ref[0, 0] = dxb
+    # (ref slice-add — value-level .at[].add lowers to scatter)
+    dxb_ref[0, 0] = dx_ln.astype(dt).reshape(k, Wp, C)
+    dxb_ref[0, 0, halo:halo + w, halo:halo + W, :] += dz.reshape(w, W, C)
 
 
 # ---------------------------------------------------------------------------
