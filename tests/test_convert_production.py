@@ -48,7 +48,9 @@ def _torch_model(arch):
 
         kw = arch.dict()
         kw.pop("type")
-        kw.pop("remat", None)  # framework-only extension, unknown to torch
+        # framework-only extensions, unknown to torch
+        kw.pop("remat", None)
+        kw.pop("scan_layers", None)
         return dino(**kw)
     if t == "swin_transformer":
         from models.swin_transformer import SwinTransformer
